@@ -1,0 +1,116 @@
+"""Golden-parity tests for the JAX HiFT vocoder against the reference torch
+implementation (importable: hifigan.py depends only on torch/numpy/scipy)."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+
+def load_ref_module(name, path):
+    """Import a reference .py file standalone (the package __init__ fails on
+    missing deps; these module files only need torch/numpy/scipy)."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+from chatterbox_tpu.models.s3gen.hifigan import (
+    HiFTConfig,
+    convert_hift,
+    f0_predict,
+    hift_decode,
+    hift_generate,
+    init_hift,
+)
+
+CFG = HiFTConfig()
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    base = "/root/reference/src/chatterbox/models/s3gen"
+    f0_mod = load_ref_module("ref_f0_predictor", f"{base}/f0_predictor.py")
+    hifi_mod = load_ref_module("ref_hifigan", f"{base}/hifigan.py")
+    ConvRNNF0Predictor = f0_mod.ConvRNNF0Predictor
+    HiFTGenerator = hifi_mod.HiFTGenerator
+
+    torch.manual_seed(0)
+    m = HiFTGenerator(
+        sampling_rate=24000,
+        upsample_rates=[8, 5, 3],
+        upsample_kernel_sizes=[16, 11, 7],
+        source_resblock_kernel_sizes=[7, 7, 11],
+        source_resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        f0_predictor=ConvRNNF0Predictor(),
+    )
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(ref_model):
+    return convert_hift(ref_model.state_dict(), CFG)
+
+
+def test_f0_predictor_parity(ref_model, params):
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model.f0_predictor(torch.from_numpy(mel)).numpy()
+    got = f0_predict(params["f0_predictor"], jnp.asarray(mel.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_parity(ref_model, params):
+    """hift_decode vs reference decode() -- the fully deterministic path."""
+    rng = np.random.default_rng(1)
+    t = 16
+    mel = rng.standard_normal((1, 80, t)).astype(np.float32) * 0.5
+    source = (rng.standard_normal((1, 1, t * 480)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model.decode(torch.from_numpy(mel), torch.from_numpy(source)).numpy()
+    got = hift_decode(params, CFG, jnp.asarray(mel.transpose(0, 2, 1)), jnp.asarray(source[:, 0]))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=1e-3)
+
+
+def test_full_inference_parity_zero_noise(ref_model, params, monkeypatch):
+    """Full vocoder parity with all stochastic draws forced to zero."""
+    rng = np.random.default_rng(2)
+    t = 12
+    mel = (rng.standard_normal((1, 80, t)) * 0.5).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch.distributions.uniform.Uniform,
+        "sample",
+        lambda self, sample_shape: torch.zeros(sample_shape),
+    )
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    with torch.no_grad():
+        ref_wav, ref_src = ref_model.inference(torch.from_numpy(mel))
+
+    got_wav, got_src = hift_generate(
+        params,
+        CFG,
+        jnp.asarray(mel.transpose(0, 2, 1)),
+        phase_noise=jnp.zeros((1, 9)),
+        additive_noise=jnp.zeros((1, 9, t * 480)),
+    )
+    np.testing.assert_allclose(np.asarray(got_src), ref_src[:, 0].numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_wav), ref_wav.numpy(), atol=5e-3)
+
+
+def test_generate_with_rng_runs():
+    key = jax.random.PRNGKey(0)
+    p = init_hift(key, CFG)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 80)) * 0.3
+    wav, src = jax.jit(lambda p, m, k: hift_generate(p, CFG, m, rng=k))(p, mel, key)
+    assert wav.shape == (2, 8 * 480)
+    assert np.isfinite(np.asarray(wav)).all()
