@@ -1,0 +1,260 @@
+"""From-scratch JAX Llama backbone for the T3 speech-token decoder.
+
+Numerics-parity target: HF ``LlamaModel`` with the Llama_520M config
+(reference t3/llama_configs.py: hidden 1024, 30 layers, 16 heads, head_dim 64,
+FFN 4096, RMSNorm eps 1e-5, rope_theta 5e5 with llama3 scaling factor 8).
+
+TPU-first design:
+  - layer parameters are STACKED on a leading (n_layers,) axis and the block
+    is applied with ``lax.scan`` -> one layer gets traced/compiled, 30 run.
+  - the KV cache is a preallocated fixed-shape (2, L, B, H, T_max, D) array
+    updated with ``lax.dynamic_update_slice`` inside the decode loop; no
+    dynamic shapes anywhere (XLA requirement).
+  - attention is dense XLA einsum (sequences here are <= ~3k); the decode
+    step's 1-token attention is a pure HBM-bandwidth matvec which XLA already
+    emits optimally -- measured against a Pallas variant in ops/.
+  - sharding: weights carry a "model" axis on heads/ffn via
+    parallel/sharding.py specs; everything here is pure function of params.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...core.layers import rms_norm
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 30
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # llama3-style rope scaling (t3/llama_configs.py:23-30)
+    rope_scaling_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+
+LLAMA_520M = LlamaConfig()
+
+
+def rope_inv_freq(cfg: LlamaConfig) -> np.ndarray:
+    """HF llama3 rope-scaling formula (transformers modeling_rope_utils)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    low_wavelen = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wavelen = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2.0 * np.pi / inv_freq
+    scaled = np.where(wavelen > low_wavelen, inv_freq / cfg.rope_scaling_factor, inv_freq)
+    smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+    )
+    smoothed = (1.0 - smooth) * inv_freq / cfg.rope_scaling_factor + smooth * inv_freq
+    is_medium = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+    return np.where(is_medium, smoothed, scaled).astype(np.float32)
+
+
+def rope_cos_sin(cfg: LlamaConfig, positions: jnp.ndarray):
+    """positions (B, T) -> cos, sin (B, T, head_dim) in HF half-rotate layout."""
+    inv = jnp.asarray(rope_inv_freq(cfg))  # (D/2,)
+    freqs = positions[..., None].astype(jnp.float32) * inv  # (B, T, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    d = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k: (B, H, T, D); cos,sin: (B, T, D)."""
+    cos = cos[:, None]
+    sin = sin[:, None]
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q, k
+
+
+def init_llama(key, cfg: LlamaConfig, dtype=jnp.float32):
+    """Random-init stacked layer params (for benches/tests without weights)."""
+    l, c, f = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    hd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+    ks = jax.random.split(key, 8)
+    std = 0.02
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    return {
+        "layers": {
+            "input_ln": {"scale": jnp.ones((l, c), dtype)},
+            "q": {"w": w(ks[0], (l, c, hd))},
+            "k": {"w": w(ks[1], (l, c, kvd))},
+            "v": {"w": w(ks[2], (l, c, kvd))},
+            "o": {"w": w(ks[3], (l, hd, c))},
+            "post_ln": {"scale": jnp.ones((l, c), dtype)},
+            "gate": {"w": w(ks[4], (l, c, f))},
+            "up": {"w": w(ks[5], (l, c, f))},
+            "down": {"w": w(ks[6], (l, f, c))},
+        },
+        "final_ln": {"scale": jnp.ones((c,), dtype)},
+    }
+
+
+def convert_llama(sd, cfg: LlamaConfig, prefix="tfmr."):
+    """HF LlamaModel state dict -> stacked pytree."""
+    import numpy as np
+
+    def _n(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    def stack(fmt, transpose=True):
+        ws = []
+        for i in range(cfg.num_hidden_layers):
+            w = _n(sd[fmt.format(i=i)])
+            ws.append(w.T if transpose else w)
+        return jnp.asarray(np.stack(ws))
+
+    p = {
+        "layers": {
+            "input_ln": {"scale": stack(prefix + "layers.{i}.input_layernorm.weight", False)},
+            "q": {"w": stack(prefix + "layers.{i}.self_attn.q_proj.weight")},
+            "k": {"w": stack(prefix + "layers.{i}.self_attn.k_proj.weight")},
+            "v": {"w": stack(prefix + "layers.{i}.self_attn.v_proj.weight")},
+            "o": {"w": stack(prefix + "layers.{i}.self_attn.o_proj.weight")},
+            "post_ln": {"scale": stack(prefix + "layers.{i}.post_attention_layernorm.weight", False)},
+            "gate": {"w": stack(prefix + "layers.{i}.mlp.gate_proj.weight")},
+            "up": {"w": stack(prefix + "layers.{i}.mlp.up_proj.weight")},
+            "down": {"w": stack(prefix + "layers.{i}.mlp.down_proj.weight")},
+        },
+        "final_ln": {"scale": jnp.asarray(_n(sd[prefix + "norm.weight"]))},
+    }
+    return p
+
+
+def _split_heads(x, n_heads, head_dim):
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _attn(q, k, v, mask_bias):
+    """(B,H,T,D) x (B,H,S,D) dense attention with additive bias (B,1,T,S)."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(
+        v.dtype
+    )
+
+
+def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_pos=None):
+    """One decoder layer. Returns (y, (k, v)) where k/v cover this call's
+    tokens (prefill) or the updated full cache (decode)."""
+    h, d = cfg.num_attention_heads, cfg.head_dim
+    res = x
+    y = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+    q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h, d)
+    k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
+    v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_pos, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_pos, 0))
+        k_all, v_all = ck, cv
+        new_kv = (ck, cv)
+    else:
+        k_all, v_all = k, v
+        new_kv = (k, v)
+
+    a = _attn(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
+    a = a.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], h * d)
+    x = res + jnp.matmul(a, lp["o"]["w"])
+
+    res = x
+    y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+    y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+    x = res + jnp.matmul(y, lp["down"]["w"])
+    return x, new_kv
+
+
+def llama_prefill(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray],
+    cache_len: int,
+):
+    """Full-sequence causal forward, writing a fresh KV cache of size cache_len.
+
+    inputs_embeds (B, T, C); positions (B, T) int32; attn_mask (B, T) bool
+    (True = real token) or None. Returns (hidden (B,T,C), cache (2,L,B,Hkv,S,D)).
+    """
+    b, t, c = inputs_embeds.shape
+    cos, sin = rope_cos_sin(cfg, positions)
+    neg = jnp.finfo(jnp.float32).min
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]  # (1,1,T,T)
+    keep = causal
+    if attn_mask is not None:
+        keep = keep & attn_mask[:, None, None, :]
+    bias = jnp.where(keep, 0.0, neg).astype(jnp.float32)
+
+    def body(x, lp):
+        y, kv = _layer(cfg, lp, x, cos, sin, bias)
+        return y, jnp.stack(kv)  # (2, B, H, T, D)
+
+    x, kvs = lax.scan(body, inputs_embeds, params["layers"])
+    hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
+    # write into fixed-size cache
+    kvs = kvs.transpose(1, 0, 2, 3, 4, 5)  # (2, L, B, H, T, D)
+    pad = cache_len - t
+    cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    return hidden, cache
+
+
+def llama_decode_step(
+    params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,
+    cache: jnp.ndarray,
+    cache_pos: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_len_mask: jnp.ndarray,
+):
+    """One-token incremental forward.
+
+    x (B, 1, C); cache (2, L, B, Hkv, S, D); cache_pos scalar int32 (write
+    index); positions (B, 1) rope positions; attn_len_mask (B, S) bool =
+    which cache slots are valid *after* this token is written.
+    Returns (hidden (B, 1, C), new cache).
+    """
+    cos, sin = rope_cos_sin(cfg, positions)
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.where(attn_len_mask[:, None, None, :], 0.0, neg).astype(jnp.float32)
+
+    def body(carry, inp):
+        xx = carry
+        lp, ckv = inp
+        y, new_kv = _layer(cfg, lp, xx, cos, sin, bias, cache_kv=(ckv[0], ckv[1]), cache_pos=cache_pos)
+        return y, jnp.stack(new_kv)
+
+    cache_l = cache.transpose(1, 0, 2, 3, 4, 5)  # (L, 2, B, H, S, D)
+    x, new_cache_l = lax.scan(body, x, (params["layers"], cache_l))
+    hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
+    return hidden, new_cache_l.transpose(1, 0, 2, 3, 4, 5)
