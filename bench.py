@@ -1,0 +1,110 @@
+"""Benchmark: audio-seconds synthesized per second per chip (the BASELINE.json
+metric). Runs the full-size pipeline (random-init weights -- no checkpoint
+egress in this environment; throughput is weight-value-independent) end to
+end: text tokens -> T3 CFG decode -> S3Gen flow -> HiFT vocoder.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Reference floor: ~1.3 audio-sec/s single-stream GPU (BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tokens", type=int, default=250, help="max new speech tokens (25/s)")
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu or args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+
+    if args.tiny:
+        from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
+        from chatterbox_tpu.models.s3gen.flow import FlowConfig
+        from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig
+        from chatterbox_tpu.models.s3gen.unet import UNetConfig
+        from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
+        from chatterbox_tpu.models.t3.llama import LlamaConfig
+        from chatterbox_tpu.models.t3.t3 import T3Config
+
+        t3_cfg = T3Config(
+            llama=LlamaConfig(hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+                              num_attention_heads=4, num_key_value_heads=4, head_dim=32)
+        )
+        s3_cfg = S3GenConfig(
+            flow=FlowConfig(
+                input_size=128,
+                encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
+                                        linear_units=256, num_blocks=2, num_up_blocks=1),
+                estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
+            ),
+            tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
+        )
+        tts = ChatterboxTTS.from_random(seed=0, t3_cfg=t3_cfg, s3gen_cfg=s3_cfg)
+        args.tokens = min(args.tokens, 32)
+    else:
+        tts = ChatterboxTTS.from_random(seed=0)
+
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)
+    tts.prepare_conditionals(ref, exaggeration=0.5)
+
+    text = "The quick brown fox jumps over the lazy dog near the river bank today."
+    texts = [text] * args.batch
+
+    def run(seed):
+        return tts.generate_batch(texts, max_new_tokens=args.tokens, seed=seed)
+
+    t0 = time.time()
+    wavs = run(0)  # compile + run
+    compile_s = time.time() - t0
+
+    times, audio_secs = [], []
+    for i in range(args.iters):
+        t0 = time.time()
+        wavs = run(i + 1)
+        dt = time.time() - t0
+        times.append(dt)
+        audio_secs.append(sum(len(w) for w in wavs) / 24000.0)
+
+    thr = float(np.sum(audio_secs) / np.sum(times))
+    result = {
+        "metric": f"audio_sec_per_s_per_chip_b{args.batch}",
+        "value": round(thr, 3),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(thr / 1.3, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "compile_s": round(compile_s, 1),
+                    "iter_s": [round(t, 2) for t in times],
+                    "audio_s_per_iter": [round(a, 1) for a in audio_secs],
+                    "platform": jax.devices()[0].platform,
+                    "batch": args.batch,
+                    "tokens": args.tokens,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

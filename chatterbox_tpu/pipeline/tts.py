@@ -1,0 +1,343 @@
+"""ChatterboxTTS: the end-to-end zero-shot voice-cloning TTS pipeline.
+
+Parity target: reference tts.py (punc_norm, Conditionals, ChatterboxTTS
+.from_local/.from_pretrained/.prepare_conditionals/.generate), re-designed
+for TPU serving:
+  - every device stage is a jitted, shape-bucketed function (text length,
+    generated-token length); compiled executables are cached per bucket
+  - batched generation is first-class (the reference is hard B=1)
+  - all randomness flows from an explicit seed
+  - conditionals are immutable values, not mutated model state
+"""
+
+import logging
+from dataclasses import dataclass, field, replace
+from functools import partial
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import S3GEN_SR, S3_SR, SPEECH_VOCAB_SIZE
+from ..core.sampling import SamplingConfig
+from ..core.resample import resample
+from ..checkpoint.safetensors_io import load_safetensors
+from ..models.s3gen.s3gen import S3GenConfig, RefDict, convert_s3gen, embed_ref, init_s3gen, s3gen_wav
+from ..models.s3tokenizer import pad_to_token_multiple
+from ..models.t3.t3 import T3Config, convert_t3, init_t3, t3_generate
+from ..models.tokenizer import EnTokenizer
+from ..models.voice_encoder import (
+    VoiceEncoderConfig,
+    convert_voice_encoder,
+    init_voice_encoder,
+    ve_embed_utterance,
+)
+from ..models.watermark import PerthImplicitWatermarker
+from .audio import load_wav, trim_silence
+from .conditionals import Conditionals, T3CondData
+
+logger = logging.getLogger(__name__)
+
+
+def punc_norm(text: str) -> str:
+    """Text cleanup, mirrors tts.py:22-61."""
+    if len(text) == 0:
+        return "You need to add some text for me to talk."
+    if text[0].islower():
+        text = text[0].upper() + text[1:]
+    text = " ".join(text.split())
+    for old, new in [
+        ("...", ", "), ("…", ", "), (":", ","), (" - ", ", "), (";", ", "),
+        ("—", "-"), ("–", "-"), (" ,", ","), ("“", '"'), ("”", '"'),
+        ("‘", "'"), ("’", "'"),
+    ]:
+        text = text.replace(old, new)
+    text = text.rstrip(" ")
+    if not any(text.endswith(p) for p in {".", "!", "?", "-", ","}):
+        text += "."
+    return text
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+TEXT_BUCKETS = (32, 64, 128, 256, 512)
+TOKEN_BUCKETS = (64, 125, 250, 500, 750, 1000)
+
+
+@dataclass
+class ChatterboxTTS:
+    """Functional TTS pipeline holding parameter pytrees + jit caches."""
+
+    t3_params: dict
+    s3gen_params: dict
+    ve_params: dict
+    tokenizer: Optional[EnTokenizer]
+    t3_cfg: T3Config = field(default_factory=T3Config)
+    s3gen_cfg: S3GenConfig = field(default_factory=S3GenConfig)
+    ve_cfg: VoiceEncoderConfig = field(default_factory=VoiceEncoderConfig)
+    conds: Optional[Conditionals] = None
+    sr: int = S3GEN_SR
+
+    ENC_COND_LEN = 6 * S3_SR  # tts.py:107
+    DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
+
+    def __post_init__(self):
+        self.watermarker = PerthImplicitWatermarker()
+        # fixed CFM noise buffer, mirroring flow_matching.py:191 rand_noise
+        self._cfm_noise = jax.random.normal(jax.random.PRNGKey(0), (1, 15000, 80))
+        self._jit_t3 = {}
+        self._jit_s3gen = {}
+        self._jit_embed_ref = {}
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def from_local(cls, ckpt_dir, conds_path: str = None) -> "ChatterboxTTS":
+        """Load the reference checkpoint set (ve/t3_cfg/s3gen safetensors +
+        tokenizer.json [+ conds]), converting torch layouts once
+        (tts.py:128-165)."""
+        ckpt_dir = Path(ckpt_dir)
+        t3_cfg, s3gen_cfg, ve_cfg = T3Config(), S3GenConfig(), VoiceEncoderConfig()
+        ve_sd = load_safetensors(ckpt_dir / "ve.safetensors")
+        t3_sd = load_safetensors(ckpt_dir / "t3_cfg.safetensors")
+        s3_sd = load_safetensors(ckpt_dir / "s3gen.safetensors")
+        obj = cls(
+            t3_params=jax.tree.map(jnp.asarray, convert_t3(t3_sd, t3_cfg)),
+            s3gen_params=jax.tree.map(jnp.asarray, convert_s3gen(s3_sd, s3gen_cfg)),
+            ve_params=jax.tree.map(jnp.asarray, convert_voice_encoder(ve_sd, ve_cfg)),
+            tokenizer=EnTokenizer(str(ckpt_dir / "tokenizer.json")),
+        )
+        conds_file = conds_path or (ckpt_dir / "conds.pt")
+        if Path(conds_file).exists():
+            obj.conds = Conditionals.load_torch(conds_file)
+        elif (ckpt_dir / "conds.safetensors").exists():
+            obj.conds = Conditionals.load(ckpt_dir / "conds.safetensors")
+        return obj
+
+    @classmethod
+    def from_pretrained(cls, ckpt_dir=None) -> "ChatterboxTTS":
+        """Offline equivalent of tts.py:167-180: expects the artifact set
+        already on disk (no hub egress in this environment)."""
+        if ckpt_dir is None:
+            raise ValueError(
+                "No network egress: pass ckpt_dir containing ve/t3_cfg/s3gen "
+                ".safetensors + tokenizer.json (the ResembleAI/chatterbox set)"
+            )
+        return cls.from_local(ckpt_dir)
+
+    @classmethod
+    def from_random(
+        cls, seed: int = 0, t3_cfg: T3Config = None, s3gen_cfg: S3GenConfig = None
+    ) -> "ChatterboxTTS":
+        """Random-init pipeline (benchmarks / tests without weights)."""
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        t3_cfg = t3_cfg or T3Config()
+        s3gen_cfg = s3gen_cfg or S3GenConfig()
+        return cls(
+            t3_params=init_t3(k1, t3_cfg),
+            s3gen_params=init_s3gen(k2, s3gen_cfg),
+            ve_params=init_voice_encoder(k3),
+            tokenizer=None,
+            t3_cfg=t3_cfg,
+            s3gen_cfg=s3gen_cfg,
+        )
+
+    # ---------------------------------------------------------- conditioning
+    def prepare_conditionals(self, wav_fpath_or_array, exaggeration: float = 0.5) -> Conditionals:
+        """Reference wav -> Conditionals (tts.py:182-206). Pure function of
+        inputs; also stored on self for generate() convenience parity."""
+        if isinstance(wav_fpath_or_array, (str, Path)):
+            ref24 = load_wav(wav_fpath_or_array, S3GEN_SR)
+        else:
+            ref24 = np.asarray(wav_fpath_or_array, np.float32)
+        ref16 = np.asarray(resample(jnp.asarray(ref24), S3GEN_SR, S3_SR))
+
+        # S3Gen ref: cap 10 s, pad to whole 40 ms tokens for clean 2:1 mel:token
+        dec_ref = pad_to_token_multiple(ref24[: self.DEC_COND_LEN], S3GEN_SR)
+        n24 = len(dec_ref)
+        fn = self._jit_embed_ref.get(n24)
+        if fn is None:
+            fn = jax.jit(lambda p, w: embed_ref(p, self.s3gen_cfg, w, S3GEN_SR))
+            self._jit_embed_ref[n24] = fn
+        ref_dict = fn(self.s3gen_params, jnp.asarray(dec_ref)[None])
+
+        # T3 prompt tokens: 6 s cap, 150 tokens (tts.py:192-195)
+        from ..models.s3tokenizer import s3_tokenize
+
+        enc_ref = pad_to_token_multiple(ref16[: self.ENC_COND_LEN])
+        prompt_tokens, _ = s3_tokenize(
+            self.s3gen_params["tokenizer"],
+            self.s3gen_cfg.tokenizer,
+            jnp.asarray(enc_ref)[None],
+            max_len=self.t3_cfg.speech_cond_prompt_len,
+        )
+
+        # VoiceEncoder speaker embedding (trim + rate-1.3 partials)
+        ve_wav = trim_silence(ref16, top_db=20)
+        ve_embed = ve_embed_utterance(self.ve_params, self.ve_cfg, jnp.asarray(ve_wav)[None])
+
+        conds = Conditionals(
+            T3CondData(ve_embed, prompt_tokens.astype(jnp.int32), jnp.full((1,), exaggeration)),
+            ref_dict,
+        )
+        self.conds = conds
+        return conds
+
+    # ------------------------------------------------------------- generate
+    def generate(
+        self,
+        text: str,
+        repetition_penalty: float = 1.2,
+        min_p: float = 0.05,
+        top_p: float = 1.0,
+        audio_prompt_path=None,
+        exaggeration: float = 0.5,
+        cfg_weight: float = 0.5,
+        temperature: float = 0.8,
+        seed: int = 0,
+        max_new_tokens: int = 1000,
+    ) -> np.ndarray:
+        """Single-utterance API-parity generate (tts.py:208-272) -> (1, T)."""
+        wavs = self.generate_batch(
+            [text],
+            conds=None if audio_prompt_path is None else self.prepare_conditionals(audio_prompt_path, exaggeration),
+            repetition_penalty=repetition_penalty,
+            min_p=min_p,
+            top_p=top_p,
+            exaggeration=exaggeration,
+            cfg_weight=cfg_weight,
+            temperature=temperature,
+            seed=seed,
+            max_new_tokens=max_new_tokens,
+        )
+        return wavs[0][None]
+
+    def generate_batch(
+        self,
+        texts: List[str],
+        conds: Optional[Conditionals] = None,
+        repetition_penalty: float = 1.2,
+        min_p: float = 0.05,
+        top_p: float = 1.0,
+        exaggeration: float = 0.5,
+        cfg_weight: float = 0.5,
+        temperature: float = 0.8,
+        seed: int = 0,
+        max_new_tokens: int = 1000,
+    ) -> List[np.ndarray]:
+        """Batched generation: one T3 decode + one S3Gen over the batch."""
+        conds = conds or self.conds
+        assert conds is not None, "prepare_conditionals first or pass conds"
+        if float(conds.t3.emotion_adv[0]) != exaggeration:
+            conds = conds.with_exaggeration(exaggeration)
+
+        b = len(texts)
+        tok_rows = [self._encode_text(t) for t in texts]
+        lens = np.array([len(r) for r in tok_rows], np.int32)
+        tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
+        text_tokens = np.zeros((b, tmax), np.int32)
+        for i, r in enumerate(tok_rows):
+            text_tokens[i, : len(r)] = r
+
+        sampling = SamplingConfig(
+            temperature=temperature,
+            top_p=top_p,
+            min_p=min_p,
+            repetition_penalty=repetition_penalty,
+            cfg_weight=cfg_weight,
+        )
+
+        t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling)
+        t3c = self._tile_conds(conds.t3, b)
+        res = t3(
+            self.t3_params,
+            jnp.asarray(text_tokens),
+            jnp.asarray(lens),
+            t3c.speaker_emb,
+            t3c.prompt_tokens,
+            t3c.emotion_adv,
+            jax.random.PRNGKey(seed),
+        )
+        tokens = np.asarray(res.tokens)
+        tok_lens = np.asarray(res.lengths)
+
+        # host: drop invalid tokens per row (tts.py:256-262)
+        clean_rows, clean_lens = [], []
+        for i in range(b):
+            row = tokens[i, : tok_lens[i]]
+            row = row[row < SPEECH_VOCAB_SIZE]
+            clean_rows.append(row)
+            clean_lens.append(len(row))
+        tbucket = _bucket(max(max(clean_lens), 2), TOKEN_BUCKETS)
+        speech = np.zeros((b, tbucket), np.int32)
+        for i, r in enumerate(clean_rows):
+            speech[i, : len(r)] = r
+
+        wav, wav_lens = self._run_s3gen(
+            jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
+        )
+        wav = np.asarray(wav)
+        out = []
+        for i in range(b):
+            w = wav[i, : int(wav_lens[i])]
+            out.append(self.watermarker.apply_watermark(w, sample_rate=self.sr))
+        return out
+
+    # ------------------------------------------------------------- internals
+    def _encode_text(self, text: str) -> np.ndarray:
+        text = punc_norm(text)
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(text)
+        else:  # random-weights mode: hash chars into the text vocab
+            ids = [(ord(c) % 700) + 1 for c in text]
+        sot, eot = self.t3_cfg.start_text_token, self.t3_cfg.stop_text_token
+        return np.array([sot] + list(ids) + [eot], np.int32)
+
+    def _tile_conds(self, t3c: T3CondData, b: int) -> T3CondData:
+        def tile(x):
+            return jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 and b > 1 else x
+
+        return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
+
+    def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig):
+        key = (b, tmax, max_new, sampling)
+        fn = self._jit_t3.get(key)
+        if fn is None:
+            cfg = self.t3_cfg
+
+            @jax.jit
+            def run(p, text, lens, spk, prompt, emo, rng):
+                return t3_generate(
+                    p, cfg, text, lens, spk, prompt, emo, rng, sampling, max_new
+                )
+
+            fn = run
+            self._jit_t3[key] = fn
+        return fn
+
+    def _run_s3gen(self, speech, speech_lens, ref: RefDict, b: int, seed: int):
+        p_len = ref.prompt_token.shape[1]
+        tbucket = speech.shape[1]
+        key = (b, p_len, tbucket)
+        fn = self._jit_s3gen.get(key)
+        if fn is None:
+            cfg = self.s3gen_cfg
+
+            @jax.jit
+            def run(p, tokens, lens, ref, noise, rng):
+                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
+
+            fn = run
+            self._jit_s3gen[key] = fn
+        total = 2 * (p_len + tbucket)
+        noise = self._cfm_noise[:, :total]
+        noise = jnp.broadcast_to(noise, (b,) + noise.shape[1:])
+        ref_b = RefDict(*[jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 else x for x in ref])
+        return fn(self.s3gen_params, speech, speech_lens, ref_b, noise, jax.random.PRNGKey(seed + 1))

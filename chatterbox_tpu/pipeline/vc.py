@@ -1,0 +1,123 @@
+"""ChatterboxVC: voice conversion (source speech -> target speaker voice).
+
+Parity target: reference vc.py (set_target_voice / generate): tokenize the
+source speech with the S3 tokenizer, re-synthesize through S3Gen with the
+target-voice RefDict, watermark. Batched and bucketed like the TTS pipeline.
+"""
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import S3GEN_SR, S3_SR
+from ..checkpoint.safetensors_io import load_safetensors
+from ..models.s3gen.s3gen import RefDict, S3GenConfig, convert_s3gen, embed_ref, init_s3gen, s3gen_wav
+from ..models.s3tokenizer import pad_to_token_multiple, s3_tokenize
+from ..models.watermark import PerthImplicitWatermarker
+from .audio import load_wav
+from .tts import TOKEN_BUCKETS, _bucket
+
+
+@dataclass
+class ChatterboxVC:
+    s3gen_params: dict
+    s3gen_cfg: S3GenConfig = field(default_factory=S3GenConfig)
+    ref_dict: Optional[RefDict] = None
+    sr: int = S3GEN_SR
+
+    ENC_COND_LEN = 6 * S3_SR
+    DEC_COND_LEN = 10 * S3GEN_SR
+
+    def __post_init__(self):
+        self.watermarker = PerthImplicitWatermarker()
+        self._cfm_noise = jax.random.normal(jax.random.PRNGKey(0), (1, 15000, 80))
+        self._jit = {}
+
+    @classmethod
+    def from_local(cls, ckpt_dir) -> "ChatterboxVC":
+        ckpt_dir = Path(ckpt_dir)
+        cfg = S3GenConfig()
+        sd = load_safetensors(ckpt_dir / "s3gen.safetensors")
+        obj = cls(s3gen_params=jax.tree.map(jnp.asarray, convert_s3gen(sd, cfg)), s3gen_cfg=cfg)
+        conds = ckpt_dir / "conds.pt"
+        if conds.exists():
+            from .conditionals import Conditionals
+
+            obj.ref_dict = Conditionals.load_torch(conds).gen
+        return obj
+
+    @classmethod
+    def from_random(cls, seed: int = 0, s3gen_cfg: S3GenConfig = None) -> "ChatterboxVC":
+        s3gen_cfg = s3gen_cfg or S3GenConfig()
+        return cls(s3gen_params=init_s3gen(jax.random.PRNGKey(seed), s3gen_cfg), s3gen_cfg=s3gen_cfg)
+
+    def set_target_voice(self, wav_fpath_or_array):
+        """vc.py:76-81: 10 s cap on the reference voice."""
+        if isinstance(wav_fpath_or_array, (str, Path)):
+            ref = load_wav(wav_fpath_or_array, S3GEN_SR)
+        else:
+            ref = np.asarray(wav_fpath_or_array, np.float32)
+        ref = pad_to_token_multiple(ref[: self.DEC_COND_LEN], S3GEN_SR)
+        fn = self._jit.get(("embed", len(ref)))
+        if fn is None:
+            fn = jax.jit(lambda p, w: embed_ref(p, self.s3gen_cfg, w, S3GEN_SR))
+            self._jit[("embed", len(ref))] = fn
+        self.ref_dict = fn(self.s3gen_params, jnp.asarray(ref)[None])
+        return self.ref_dict
+
+    def generate(self, audio, target_voice_path=None, seed: int = 0) -> np.ndarray:
+        """Single-source API parity (vc.py:83-104) -> (1, T) waveform."""
+        return self.generate_batch([audio], target_voice_path, seed=seed)[0][None]
+
+    def generate_batch(self, audios: List, target_voice_path=None, seed: int = 0) -> List[np.ndarray]:
+        if target_voice_path is not None:
+            self.set_target_voice(target_voice_path)
+        assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
+
+        srcs = []
+        for a in audios:
+            wav = load_wav(a, S3_SR) if isinstance(a, (str, Path)) else np.asarray(a, np.float32)
+            srcs.append(pad_to_token_multiple(wav))
+        n_toks = [len(s) // 640 for s in srcs]
+        wav_bucket = _bucket(max(n_toks), TOKEN_BUCKETS) * 640
+        batch = np.zeros((len(srcs), wav_bucket), np.float32)
+        for i, s in enumerate(srcs):
+            batch[i, : len(s)] = s
+
+        b = len(srcs)
+        key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1])
+        fn = self._jit.get(key)
+        if fn is None:
+            cfg = self.s3gen_cfg
+
+            @jax.jit
+            def run(p, wav16, lens, ref, noise, rng):
+                tokens, _ = s3_tokenize(p["tokenizer"], cfg.tokenizer, wav16)
+                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
+
+            fn = run
+            self._jit[key] = fn
+
+        p_len = self.ref_dict.prompt_token.shape[1]
+        total = 2 * (p_len + wav_bucket // 640)
+        noise = jnp.broadcast_to(self._cfm_noise[:, :total], (b, total, 80))
+        ref_b = RefDict(
+            *[jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 else x for x in self.ref_dict]
+        )
+        wav, wav_lens = fn(
+            self.s3gen_params,
+            jnp.asarray(batch),
+            jnp.asarray(np.array(n_toks, np.int32)),
+            ref_b,
+            noise,
+            jax.random.PRNGKey(seed + 1),
+        )
+        wav = np.asarray(wav)
+        return [
+            self.watermarker.apply_watermark(wav[i, : int(wav_lens[i])], sample_rate=self.sr)
+            for i in range(b)
+        ]

@@ -1,0 +1,52 @@
+"""Server configuration from CHATTERBOX_* environment variables.
+
+Parity target: reference src/server/config.py (pydantic-settings based).
+pydantic-settings isn't installed here, so the same env-var surface is
+implemented directly on a pydantic model.
+"""
+
+import os
+from pathlib import Path
+
+from pydantic import BaseModel
+
+
+class ServerConfig(BaseModel):
+    host: str = "0.0.0.0"
+    port: int = 8000
+    device: str = "auto"  # auto | tpu | cpu
+    model_dir: str = ""  # checkpoint dir; empty -> random weights (dev)
+    compile_mode: str = "default"
+    voice_storage_path: str = "storage/voices"
+    config_storage_path: str = "storage/configs"
+    cache_path: str = "storage/cache"
+    output_path: str = "storage/outputs"
+    max_upload_mb: int = 50
+    default_exaggeration: float = 0.5
+    default_cfg_weight: float = 0.5
+    default_temperature: float = 0.8
+    max_batch_size: int = 8
+
+    @classmethod
+    def from_env(cls) -> "ServerConfig":
+        prefix = "CHATTERBOX_"
+        kwargs = {}
+        for name, field in cls.model_fields.items():
+            env = os.environ.get(prefix + name.upper())
+            if env is not None:
+                kwargs[name] = env
+        return cls(**kwargs)
+
+    def ensure_dirs(self):
+        for p in [self.voice_storage_path, self.config_storage_path, self.cache_path, self.output_path]:
+            Path(p).mkdir(parents=True, exist_ok=True)
+
+
+_config = None
+
+
+def get_config() -> ServerConfig:
+    global _config
+    if _config is None:
+        _config = ServerConfig.from_env()
+    return _config

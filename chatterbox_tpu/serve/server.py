@@ -1,0 +1,208 @@
+"""HTTP serving: FastAPI app when available, stdlib ThreadingHTTPServer
+otherwise (FastAPI/uvicorn are not installed in this environment; the stdlib
+path serves the identical REST surface).
+
+Route parity with reference src/server/server.py:117-566.
+"""
+
+import json
+import logging
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from .config import ServerConfig, get_config
+from .schemas import EmotionCreateRequest, TTSRequest
+from .service import TTSService
+
+logger = logging.getLogger(__name__)
+
+_INDEX = Path(__file__).parent / "templates" / "index.html"
+
+
+# --------------------------------------------------------------------- FastAPI
+def build_fastapi_app(service: TTSService):
+    from fastapi import FastAPI, HTTPException, Request
+    from fastapi.responses import HTMLResponse, Response
+
+    app = FastAPI(title="chatterbox-tpu")
+
+    @app.get("/health")
+    def health():
+        return service.health().model_dump()
+
+    @app.post("/generate")
+    def generate(req: TTSRequest):
+        try:
+            return service.generate(req).model_dump()
+        except (KeyError, ValueError) as e:
+            raise HTTPException(400, str(e))
+
+    @app.get("/emotions")
+    def emotions():
+        return service.list_emotions()
+
+    @app.post("/emotions")
+    def create_emotion(req: EmotionCreateRequest):
+        return service.create_emotion(req).model_dump()
+
+    @app.delete("/emotions/{emotion_id}")
+    def delete_emotion(emotion_id: str):
+        if not service.delete_emotion(emotion_id):
+            raise HTTPException(404, "not found")
+        return {"deleted": emotion_id}
+
+    @app.post("/emotions/{emotion_id}/test")
+    def test_emotion(emotion_id: str):
+        return service.test_emotion(emotion_id).model_dump()
+
+    @app.get("/voices")
+    def voices():
+        return service.list_voices()
+
+    @app.post("/voices/upload")
+    async def upload(request: Request, filename: str):
+        data = await request.body()
+        return service.upload_voice(filename, data)
+
+    @app.delete("/voices/{name}")
+    def delete_voice(name: str):
+        if not service.delete_voice(name):
+            raise HTTPException(404, "not found")
+        return {"deleted": name}
+
+    @app.get("/outputs/{name}")
+    def output(name: str):
+        data = service.output_file(name)
+        if data is None:
+            raise HTTPException(404, "not found")
+        return Response(data, media_type="audio/wav")
+
+    @app.get("/", response_class=HTMLResponse)
+    def index():
+        return _INDEX.read_text()
+
+    return app
+
+
+# ---------------------------------------------------------------- stdlib HTTP
+def make_stdlib_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            logger.debug("http: " + fmt, *args)
+
+        def _send(self, code, body, ctype="application/json"):
+            if isinstance(body, (dict, list)):
+                body = json.dumps(body).encode()
+            elif isinstance(body, str):
+                body = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def _json(self):
+            return json.loads(self._body() or b"{}")
+
+        def do_GET(self):
+            try:
+                path = self.path.split("?")[0]
+                if path == "/health":
+                    return self._send(200, service.health().model_dump())
+                if path == "/emotions":
+                    return self._send(200, service.list_emotions())
+                if path == "/voices":
+                    return self._send(200, service.list_voices())
+                m = re.fullmatch(r"/outputs/([^/]+)", path)
+                if m:
+                    data = service.output_file(m.group(1))
+                    if data is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, data if isinstance(data, bytes) else bytes(data), "audio/wav")
+                if path == "/":
+                    return self._send(200, _INDEX.read_text(), "text/html")
+                return self._send(404, {"error": "not found"})
+            except Exception as e:  # global error handler (server.py:542-554)
+                logger.exception("GET %s failed", self.path)
+                return self._send(500, {"error": str(e)})
+
+        def do_POST(self):
+            from pydantic import ValidationError
+
+            try:
+                path = self.path.split("?")[0]
+                if path == "/generate":
+                    req = TTSRequest(**self._json())
+                    try:
+                        return self._send(200, service.generate(req).model_dump())
+                    except (KeyError, ValueError) as e:
+                        return self._send(400, {"error": str(e)})
+                if path == "/emotions":
+                    req = EmotionCreateRequest(**self._json())
+                    return self._send(200, service.create_emotion(req).model_dump())
+                m = re.fullmatch(r"/emotions/([^/]+)/test", path)
+                if m:
+                    return self._send(200, service.test_emotion(m.group(1)).model_dump())
+                if path == "/voices/upload":
+                    q = dict(
+                        kv.split("=", 1) for kv in self.path.split("?", 1)[1].split("&")
+                    ) if "?" in self.path else {}
+                    fname = q.get("filename", "upload.wav")
+                    return self._send(200, service.upload_voice(fname, self._body()))
+                return self._send(404, {"error": "not found"})
+            except ValidationError as e:
+                return self._send(422, {"error": "validation", "detail": json.loads(e.json())})
+            except Exception as e:
+                logger.exception("POST %s failed", self.path)
+                return self._send(500, {"error": str(e)})
+
+        def do_DELETE(self):
+            try:
+                m = re.fullmatch(r"/emotions/([^/]+)", self.path)
+                if m:
+                    ok = service.delete_emotion(m.group(1))
+                    return self._send(200 if ok else 404, {"deleted": ok and m.group(1)})
+                m = re.fullmatch(r"/voices/([^/]+)", self.path)
+                if m:
+                    ok = service.delete_voice(m.group(1))
+                    return self._send(200 if ok else 404, {"deleted": ok and m.group(1)})
+                return self._send(404, {"error": "not found"})
+            except Exception as e:
+                logger.exception("DELETE %s failed", self.path)
+                return self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+def run_server(cfg: ServerConfig = None, tts=None, background: bool = False):
+    cfg = cfg or get_config()
+    service = TTSService(cfg, tts=tts)
+    try:
+        import fastapi  # noqa: F401
+        import uvicorn
+
+        app = build_fastapi_app(service)
+        logger.info("serving with FastAPI/uvicorn on %s:%d", cfg.host, cfg.port)
+        uvicorn.run(app, host=cfg.host, port=cfg.port)
+        return None
+    except ImportError:
+        httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_stdlib_handler(service))
+        logger.info("serving with stdlib HTTP server on %s:%d", cfg.host, cfg.port)
+        if background:
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+            return httpd
+        httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    run_server()

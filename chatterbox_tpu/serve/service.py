@@ -1,0 +1,142 @@
+"""Framework-agnostic serving logic: one TTSService with plain-function
+route handlers, adapted to FastAPI (if installed) or the stdlib HTTP server
+(serve/server.py). Mirrors the reference FastAPI route set
+(src/server/server.py): /health, /generate, /emotions CRUD + test,
+/voices upload/list/remove, /outputs files, / web UI.
+"""
+
+import base64
+import io
+import logging
+import time
+import uuid
+import wave
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..pipeline.tts import ChatterboxTTS
+from .config import ServerConfig
+from .schemas import EmotionCreateRequest, EmotionProfile, ServerStatus, TTSRequest, TTSResponse
+from .voice_manager import VoiceManager
+
+logger = logging.getLogger(__name__)
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+class TTSService:
+    def __init__(self, cfg: ServerConfig, tts: Optional[ChatterboxTTS] = None):
+        self.cfg = cfg
+        cfg.ensure_dirs()
+        self.start_time = time.time()
+        if tts is None:
+            if cfg.model_dir:
+                tts = ChatterboxTTS.from_local(cfg.model_dir)
+            else:
+                logger.warning("CHATTERBOX_MODEL_DIR unset: serving random-weight model (dev mode)")
+                tts = ChatterboxTTS.from_random()
+        self.tts = tts
+        self.voices = VoiceManager(
+            tts, cfg.voice_storage_path, cfg.config_storage_path, cfg.cache_path
+        )
+
+    # ---------------------------------------------------------------- routes
+    def health(self) -> ServerStatus:
+        import jax
+
+        return ServerStatus(
+            status="ok",
+            model_loaded=self.tts is not None,
+            device=jax.devices()[0].platform,
+            emotions_ready=self.voices.get_stats()["ready"],
+            uptime_seconds=time.time() - self.start_time,
+            memory={},
+        )
+
+    def generate(self, req: TTSRequest) -> TTSResponse:
+        conds = None
+        if req.emotion:
+            conds = self.voices.get_conditionals(req.emotion)
+            if conds is None:
+                raise KeyError(f"emotion profile not found or has no samples: {req.emotion}")
+        elif self.tts.conds is not None:
+            conds = self.tts.conds
+        else:
+            raise ValueError("no emotion specified and no default voice loaded")
+
+        t0 = time.time()
+        wavs = self.tts.generate_batch(
+            [req.text],
+            conds=conds,
+            repetition_penalty=req.repetition_penalty,
+            min_p=req.min_p,
+            top_p=req.top_p,
+            exaggeration=req.exaggeration,
+            cfg_weight=req.cfg_weight,
+            temperature=req.temperature,
+            seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
+            max_new_tokens=req.max_new_tokens,
+        )
+        gen_time = time.time() - t0
+        wav = wavs[0]
+        duration = len(wav) / self.tts.sr
+        resp = TTSResponse(
+            sample_rate=self.tts.sr,
+            duration_seconds=round(duration, 3),
+            generation_time_seconds=round(gen_time, 3),
+            rtf=round(gen_time / max(duration, 1e-6), 3),
+            metadata={"emotion": req.emotion, "seed": req.seed},
+        )
+        data = wav_bytes(wav, self.tts.sr)
+        if req.return_base64:
+            resp.audio_base64 = base64.b64encode(data).decode()
+        else:
+            name = f"tts_{uuid.uuid4().hex[:10]}.wav"
+            (Path(self.cfg.output_path) / name).write_bytes(data)
+            resp.audio_url = f"/outputs/{name}"
+        return resp
+
+    def list_emotions(self):
+        return [p.model_dump() for p in self.voices.list_profiles()]
+
+    def create_emotion(self, req: EmotionCreateRequest) -> EmotionProfile:
+        return self.voices.create_profile(EmotionProfile(**req.model_dump()))
+
+    def delete_emotion(self, emotion_id: str) -> bool:
+        return self.voices.delete_profile(emotion_id)
+
+    def test_emotion(self, emotion_id: str, text: str = "This is a test of the emotion profile.") -> TTSResponse:
+        return self.generate(TTSRequest(text=text, emotion=emotion_id))
+
+    def upload_voice(self, filename: str, data: bytes) -> dict:
+        if len(data) > self.cfg.max_upload_mb * 1024 * 1024:
+            raise ValueError("upload too large")
+        safe = Path(filename).name
+        if not safe.lower().endswith(".wav"):
+            raise ValueError("only .wav uploads supported")
+        (Path(self.cfg.voice_storage_path) / safe).write_bytes(data)
+        return {"filename": safe, "size": len(data)}
+
+    def list_voices(self):
+        return sorted(p.name for p in Path(self.cfg.voice_storage_path).glob("*.wav"))
+
+    def delete_voice(self, name: str) -> bool:
+        p = Path(self.cfg.voice_storage_path) / Path(name).name
+        if p.exists():
+            p.unlink()
+            return True
+        return False
+
+    def output_file(self, name: str) -> Optional[bytes]:
+        p = Path(self.cfg.output_path) / Path(name).name
+        return p.read_bytes() if p.exists() else None

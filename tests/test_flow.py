@@ -1,0 +1,170 @@
+"""Golden-parity tests for the S3Gen flow (conformer encoder + CFM UNet)
+against the reference torch modules at the full live configuration."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import diffusers_stub
+
+diffusers_stub.register()
+
+from ref_loader import load_ref
+
+from chatterbox_tpu.models.s3gen.conformer import (
+    ConformerConfig,
+    convert_upsample_conformer,
+    upsample_conformer_encoder,
+)
+from chatterbox_tpu.models.s3gen.flow import (
+    FlowConfig,
+    convert_flow,
+    flow_inference,
+    solve_euler,
+)
+from chatterbox_tpu.models.s3gen.unet import UNetConfig, convert_unet, unet_forward
+
+
+@pytest.fixture(scope="module")
+def ref_encoder():
+    ue = load_ref("chatterbox.models.s3gen.transformer.upsample_encoder")
+    torch.manual_seed(0)
+    enc = ue.UpsampleConformerEncoder(
+        output_size=512, attention_heads=8, linear_units=2048, num_blocks=6,
+        dropout_rate=0.1, positional_dropout_rate=0.1, attention_dropout_rate=0.1,
+        normalize_before=True, input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+        selfattention_layer_type="rel_selfattn", input_size=512,
+        use_cnn_module=False, macaron_style=False,
+    )
+    enc.eval()
+    return enc
+
+
+def test_conformer_encoder_parity(ref_encoder):
+    params = convert_upsample_conformer(ref_encoder.state_dict(), ConformerConfig())
+    rng = np.random.default_rng(0)
+    t = 12
+    x = rng.standard_normal((1, t, 512)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref, _ = ref_encoder(torch.from_numpy(x), torch.tensor([t]))
+    got = upsample_conformer_encoder(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    assert got.shape == tuple(ref.shape) == (1, 2 * t, 512)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-3, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_estimator():
+    dec = load_ref("chatterbox.models.s3gen.decoder")
+    torch.manual_seed(1)
+    est = dec.ConditionalDecoder(
+        in_channels=320, out_channels=80, causal=True, channels=[256],
+        dropout=0.0, attention_head_dim=64, n_blocks=4, num_mid_blocks=12,
+        num_heads=8, act_fn="gelu",
+    )
+    est.eval()
+    return est
+
+
+def test_unet_estimator_parity(ref_estimator):
+    cfg = UNetConfig()
+    params = convert_unet(ref_estimator.state_dict(), cfg)
+    rng = np.random.default_rng(2)
+    b, t = 2, 20
+    x = rng.standard_normal((b, 80, t)).astype(np.float32)
+    mu = rng.standard_normal((b, 80, t)).astype(np.float32)
+    spks = rng.standard_normal((b, 80)).astype(np.float32)
+    cond = rng.standard_normal((b, 80, t)).astype(np.float32)
+    tt = np.array([0.3, 0.7], np.float32)
+    mask = np.ones((b, 1, t), np.float32)
+    with torch.no_grad():
+        ref = ref_estimator(
+            torch.from_numpy(x), torch.from_numpy(mask), torch.from_numpy(mu),
+            torch.from_numpy(tt), torch.from_numpy(spks), torch.from_numpy(cond),
+        ).numpy()
+    got = unet_forward(
+        params, cfg,
+        jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(mu.transpose(0, 2, 1)),
+        jnp.asarray(spks), jnp.asarray(cond.transpose(0, 2, 1)), jnp.asarray(tt),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1), ref, atol=5e-3, rtol=1e-3
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_flow(ref_encoder, ref_estimator):
+    flow_mod = load_ref("chatterbox.models.s3gen.flow")
+    fm_mod = load_ref("chatterbox.models.s3gen.flow_matching")
+    torch.manual_seed(3)
+    cfm = fm_mod.CausalConditionalCFM(spk_emb_dim=80, estimator=ref_estimator)
+    flow = flow_mod.CausalMaskedDiffWithXvec(encoder=ref_encoder, decoder=cfm)
+    flow.eval()
+    return flow
+
+
+def test_full_flow_parity(ref_flow):
+    """BASELINE config 4 gate: mel allclose given same tokens + same noise."""
+    cfg = FlowConfig()
+    sd = {f"flow.{k}": v for k, v in ref_flow.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_flow(sd, cfg, prefix="flow."))
+
+    rng = np.random.default_rng(4)
+    p_len, t_len = 4, 6
+    prompt_token = rng.integers(0, 6561, (1, p_len))
+    token = rng.integers(0, 6561, (1, t_len))
+    prompt_feat = rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)
+    xvec = rng.standard_normal((1, 192)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_mel, _ = ref_flow.inference(
+            token=torch.from_numpy(token),
+            token_len=torch.tensor([t_len]),
+            prompt_token=torch.from_numpy(prompt_token),
+            prompt_token_len=torch.tensor([p_len]),
+            prompt_feat=torch.from_numpy(prompt_feat),
+            prompt_feat_len=None,
+            embedding=torch.from_numpy(xvec),
+            finalize=True,
+        )
+    # same noise the reference sliced from its fixed buffer
+    noise = ref_flow.decoder.rand_noise[:, :, : 2 * (p_len + t_len)].numpy()
+
+    mel, mask = flow_inference(
+        params, cfg,
+        jnp.asarray(token.astype(np.int32)), jnp.asarray([t_len], np.int32),
+        jnp.asarray(prompt_token.astype(np.int32)), jnp.asarray([p_len], np.int32),
+        jnp.asarray(prompt_feat), jnp.asarray(xvec),
+        jnp.asarray(noise.transpose(0, 2, 1)),
+    )
+    got = np.asarray(mel)[:, 2 * p_len :].transpose(0, 2, 1)  # (1, 80, 2*t_len)
+    assert got.shape == tuple(ref_mel.shape)
+    np.testing.assert_allclose(got, ref_mel.numpy(), atol=2e-2, rtol=1e-2)
+
+
+def test_flow_batch_padding_invariance(ref_flow):
+    """Right-padded batched rows must equal the single-row result."""
+    cfg = FlowConfig()
+    sd = {f"flow.{k}": v for k, v in ref_flow.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_flow(sd, cfg, prefix="flow."))
+    rng = np.random.default_rng(5)
+    p_len, t_len, pad = 3, 5, 3
+    prompt_token = rng.integers(0, 6561, (1, p_len)).astype(np.int32)
+    token = rng.integers(0, 6561, (1, t_len)).astype(np.int32)
+    token_pad = np.concatenate([token, np.zeros((1, pad), np.int32)], axis=1)
+    prompt_feat = rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)
+    xvec = rng.standard_normal((1, 192)).astype(np.float32)
+    noise = rng.standard_normal((1, 2 * (p_len + t_len + pad), 80)).astype(np.float32)
+
+    args = (jnp.asarray(prompt_token), jnp.asarray([p_len], np.int32), jnp.asarray(prompt_feat), jnp.asarray(xvec))
+    mel1, _ = flow_inference(params, cfg, jnp.asarray(token), jnp.asarray([t_len], np.int32),
+                             *args, jnp.asarray(noise[:, : 2 * (p_len + t_len)]))
+    mel2, mask2 = flow_inference(params, cfg, jnp.asarray(token_pad), jnp.asarray([t_len], np.int32),
+                                 *args, jnp.asarray(noise))
+    valid = 2 * (p_len + t_len)
+    assert np.asarray(mask2)[0, :valid].all() and not np.asarray(mask2)[0, valid:].any()
+    np.testing.assert_allclose(
+        np.asarray(mel1)[0], np.asarray(mel2)[0, :valid], atol=1e-3, rtol=1e-3
+    )

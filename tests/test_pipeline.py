@@ -1,0 +1,157 @@
+"""End-to-end pipeline tests (random weights, tiny configs): TTS text->wav,
+VC wav->wav, conditionals round-trip, tokenizer, watermark, audio I/O."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
+from chatterbox_tpu.models.s3gen.flow import FlowConfig
+from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig
+from chatterbox_tpu.models.s3gen.unet import UNetConfig
+from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
+from chatterbox_tpu.models.t3.llama import LlamaConfig
+from chatterbox_tpu.models.t3.t3 import T3Config
+from chatterbox_tpu.pipeline.tts import ChatterboxTTS, punc_norm
+from chatterbox_tpu.pipeline.vc import ChatterboxVC
+
+TINY_T3 = T3Config(
+    llama=LlamaConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=2, num_key_value_heads=2, head_dim=32)
+)
+TINY_S3GEN = S3GenConfig(
+    flow=FlowConfig(
+        input_size=128,
+        encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
+                                linear_units=256, num_blocks=2, num_up_blocks=1),
+        estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
+    ),
+    tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
+)
+
+
+@pytest.fixture(scope="module")
+def tts():
+    return ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+
+
+def test_punc_norm():
+    assert punc_norm("") == "You need to add some text for me to talk."
+    assert punc_norm("hello  world") == "Hello world."
+    assert punc_norm("Hi there…") == "Hi there,"
+    assert punc_norm("test;").endswith(",")
+
+
+def test_tts_end_to_end(tts):
+    rng = np.random.default_rng(0)
+    ref_wav = (rng.standard_normal(2 * 24000) * 0.1).astype(np.float32)
+    conds = tts.prepare_conditionals(ref_wav, exaggeration=0.5)
+    assert conds.t3.speaker_emb.shape == (1, 256)
+    assert conds.gen.prompt_feat.shape[1] == 2 * conds.gen.prompt_token.shape[1]
+
+    wavs = tts.generate_batch(["Hello world.", "A somewhat longer test sentence."],
+                              max_new_tokens=12, seed=3)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+        assert len(w) % 960 == 0  # 2 mel frames * 480 per token
+
+
+def test_tts_single_api(tts):
+    w = tts.generate("Short.", max_new_tokens=8, seed=1)
+    assert w.ndim == 2 and w.shape[0] == 1
+
+
+def test_conditionals_roundtrip(tts, tmp_path):
+    rng = np.random.default_rng(1)
+    conds = tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    p = tmp_path / "conds.safetensors"
+    conds.save(p)
+    from chatterbox_tpu.pipeline.conditionals import Conditionals
+
+    c2 = Conditionals.load(p)
+    np.testing.assert_allclose(np.asarray(c2.t3.speaker_emb), np.asarray(conds.t3.speaker_emb), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c2.gen.prompt_token), np.asarray(conds.gen.prompt_token))
+
+
+def test_vc_end_to_end():
+    vc = ChatterboxVC.from_random(seed=0, s3gen_cfg=TINY_S3GEN)
+    rng = np.random.default_rng(2)
+    target = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    source = (rng.standard_normal(32000) * 0.1).astype(np.float32)  # 2s @16k
+    vc.set_target_voice(target)
+    out = vc.generate(source, seed=5)
+    assert out.shape[0] == 1 and out.shape[1] > 0 and np.isfinite(out).all()
+
+
+def test_watermark_roundtrip():
+    from chatterbox_tpu.models.watermark import SpreadSpectrumWatermarker
+
+    wm = SpreadSpectrumWatermarker()
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(24000) * 0.2).astype(np.float32)
+    payload = rng.integers(0, 2, 16)
+    marked = wm.apply_watermark(wav, watermark=payload)
+    assert marked.shape == wav.shape
+    # inaudible: tiny perturbation
+    assert np.abs(marked - wav).max() < 0.05
+    got = wm.get_watermark(marked)
+    assert (got == payload).mean() >= 0.9
+
+
+def test_audio_io_roundtrip(tmp_path):
+    from chatterbox_tpu.pipeline.audio import load_wav, save_wav, trim_silence
+
+    rng = np.random.default_rng(4)
+    wav = (rng.standard_normal(12000) * 0.3).astype(np.float32)
+    p = tmp_path / "x.wav"
+    save_wav(p, wav, 24000)
+    back = load_wav(p)
+    np.testing.assert_allclose(back, np.clip(wav, -1, 1), atol=1e-3)
+    # trim: silence-padded signal gets trimmed back
+    padded = np.concatenate([np.zeros(4000, np.float32), wav, np.zeros(4000, np.float32)])
+    trimmed = trim_silence(padded, top_db=20)
+    assert len(trimmed) < len(padded)
+
+
+def test_text_tokenizer_pure_python_matches_hf(tmp_path):
+    import json
+
+    spec = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "post_processor": None,
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "ignore_merges": False,
+            "vocab": {"[UNK]": 0, "[START]": 1, "[STOP]": 2, "[SPACE]": 3,
+                      "a": 4, "b": 5, "c": 6, "ab": 7, "abc": 8},
+            "merges": ["a b", "ab c"],
+        },
+        "added_tokens": [
+            {"id": i, "content": c, "special": True, "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False}
+            for i, c in enumerate(["[UNK]", "[START]", "[STOP]", "[SPACE]"])
+        ],
+        "pre_tokenizer": None,
+        "normalizer": None,
+        "decoder": None,
+    }
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(spec))
+    from chatterbox_tpu.models.tokenizer import EnTokenizer
+
+    hf = EnTokenizer(str(p), backend="hf")
+    py = EnTokenizer(str(p), backend="python")
+    for text in ["abc ab a", "b c abcabc", "a"]:
+        assert hf.encode(text) == py.encode(text), text
+        assert py.decode(py.encode(text)) == text

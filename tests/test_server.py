@@ -1,0 +1,99 @@
+"""Serving-layer tests: full REST round-trips against the stdlib HTTP server
+with a tiny random-weight model (mirrors the reference's live smoke test,
+/root/reference/test_server.py, but runnable hermetically)."""
+
+import base64
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from chatterbox_tpu.pipeline.audio import save_wav
+from chatterbox_tpu.serve.config import ServerConfig
+from chatterbox_tpu.serve.server import run_server
+from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+
+from test_pipeline import TINY_S3GEN, TINY_T3
+
+
+def _req(port, path, method="GET", body=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if isinstance(body, (dict, list)) else body
+    r = urllib.request.Request(url, data=data, method=method)
+    if isinstance(body, (dict, list)):
+        r.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        ct = resp.headers.get("Content-Type", "")
+        raw = resp.read()
+        return resp.status, json.loads(raw) if "json" in ct else raw
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    cfg = ServerConfig(
+        host="127.0.0.1",
+        port=18751,
+        voice_storage_path=str(tmp / "voices"),
+        config_storage_path=str(tmp / "configs"),
+        cache_path=str(tmp / "cache"),
+        output_path=str(tmp / "outputs"),
+    )
+    tts = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+    httpd = run_server(cfg, tts=tts, background=True)
+    yield cfg
+    httpd.shutdown()
+
+
+def test_health(server):
+    code, j = _req(server.port, "/health")
+    assert code == 200 and j["status"] == "ok" and j["model_loaded"]
+
+
+def test_voice_upload_emotion_generate_roundtrip(server, tmp_path):
+    # upload a voice sample
+    rng = np.random.default_rng(0)
+    wav_path = tmp_path / "v.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    code, j = _req(server.port, "/voices/upload?filename=v.wav", "POST", wav_path.read_bytes())
+    assert code == 200 and j["filename"] == "v.wav"
+    code, names = _req(server.port, "/voices")
+    assert "v.wav" in names
+
+    # create an emotion profile using it
+    code, j = _req(
+        server.port, "/emotions", "POST",
+        {"id": "happy", "name": "Happy", "exaggeration": 0.7, "voice_samples": ["v.wav"]},
+    )
+    assert code == 200 and j["id"] == "happy"
+    code, lst = _req(server.port, "/emotions")
+    assert any(p["id"] == "happy" for p in lst)
+
+    # generate with it (tiny model, few tokens)
+    code, j = _req(
+        server.port, "/generate", "POST",
+        {"text": "Hi.", "emotion": "happy", "seed": 1, "max_new_tokens": 8},
+    )
+    assert code == 200 and j["success"]
+    wav = base64.b64decode(j["audio_base64"])
+    assert wav[:4] == b"RIFF" and j["duration_seconds"] > 0
+
+    # delete round-trip (reference test_server.py:108-135)
+    code, j = _req(server.port, "/emotions/happy", "DELETE")
+    assert code == 200
+    code, lst = _req(server.port, "/emotions")
+    assert not any(p["id"] == "happy" for p in lst)
+
+
+def test_generate_unknown_emotion_400(server):
+    try:
+        _req(server.port, "/generate", "POST", {"text": "x", "emotion": "nope", "max_new_tokens": 4})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_index_served(server):
+    code, body = _req(server.port, "/")
+    assert code == 200 and b"chatterbox-tpu" in body
