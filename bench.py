@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +59,10 @@ def main():
         args.tokens = min(args.tokens, 32)
     else:
         tts = ChatterboxTTS.from_random(seed=0)
+        if not args.fp32:
+            from chatterbox_tpu.runtime.precision import apply_tts_precision
+
+            apply_tts_precision(tts)
 
     rng = np.random.default_rng(0)
     ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)

@@ -132,9 +132,12 @@ def flow_inference(
     at 2*P.
     """
     b = token.shape[0]
+    pdt = p["input_embedding"]["w"].dtype
+    prompt_feat = prompt_feat.astype(pdt)
+    noise = noise.astype(pdt)
     # xvec projection (flow.py:252-253)
     emb = embedding_vec / jnp.linalg.norm(embedding_vec, axis=-1, keepdims=True)
-    spks = linear(p["spk_embed_affine"], emb)  # (B, 80)
+    spks = linear(p["spk_embed_affine"], emb.astype(pdt))  # (B, 80)
 
     # concat prompt + generated tokens, embed with pad mask
     full_token = jnp.concatenate([prompt_token, token], axis=1)  # (B, P+T)
@@ -156,4 +159,4 @@ def flow_inference(
     mel_mask = jnp.arange(t_mel)[None] < (cfg.token_mel_ratio * total_len)[:, None]
 
     mel = solve_euler(p, cfg, noise[:, :t_mel], h, spks, conds, mask=mel_mask)
-    return mel, mel_mask
+    return mel.astype(jnp.float32), mel_mask  # vocoder runs fp32 (flow.py:282 .float())

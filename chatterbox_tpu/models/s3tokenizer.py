@@ -82,6 +82,7 @@ def s3_encode_mels(p, cfg: S3TokenizerConfig, mels: jnp.ndarray, mel_lens=None):
 
     Tokens are FSQ indices in [0, 6561).
     """
+    mels = mels.astype(p["conv1"]["w"].dtype)  # bf16-capable encoder
     x = jax.nn.gelu(conv1d(p["conv1"], mels, stride=2, padding=1), approximate=False)
     x = jax.nn.gelu(conv1d(p["conv2"], x, stride=2, padding=1), approximate=False)
     t = x.shape[1]
@@ -92,8 +93,8 @@ def s3_encode_mels(p, cfg: S3TokenizerConfig, mels: jnp.ndarray, mel_lens=None):
         key_mask = jnp.arange(t)[None] < tok_lens[:, None]
     for bp in p["blocks"]:
         x = _block(bp, x, cfg.n_head, cfg.fsmn_kernel, key_mask)
-    x = layer_norm(p["ln_post"], x, 1e-5)
-    # FSQ quantize
+    x = layer_norm(p["ln_post"], x.astype(jnp.float32), 1e-5)
+    # FSQ quantize (fp32: rounding boundaries are precision-sensitive)
     z = linear(p["fsq_proj"], x)  # (B, T, 8)
     half = (cfg.fsq_levels - 1) / 2.0  # = 1 for 3 levels
     digits = jnp.clip(jnp.round(z), -half, half) + half  # {0, 1, 2}

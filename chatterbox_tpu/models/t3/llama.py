@@ -79,9 +79,9 @@ def _rotate_half(x):
 
 
 def apply_rope(q, k, cos, sin):
-    """q,k: (B, H, T, D); cos,sin: (B, T, D)."""
-    cos = cos[:, None]
-    sin = sin[:, None]
+    """q,k: (B, H, T, D); cos,sin: (B, T, D). Keeps q/k dtype (bf16-safe)."""
+    cos = cos[:, None].astype(q.dtype)
+    sin = sin[:, None].astype(q.dtype)
     q = q * cos + _rotate_half(q) * sin
     k = k * cos + _rotate_half(k) * sin
     return q, k
@@ -151,14 +151,17 @@ def _split_heads(x, n_heads, head_dim):
 
 
 def _attn(q, k, v, mask_bias):
-    """(B,H,T,D) x (B,H,S,D) dense attention with additive bias (B,1,T,S)."""
+    """(B,H,T,D) x (B,H,S,D) dense attention with additive bias (B,1,T,S).
+
+    Also returns the probs (for the alignment analyzer; DCE'd when unused)."""
     scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale + mask_bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhts,bhsd->bhtd", probs, v, preferred_element_type=jnp.float32).astype(
-        v.dtype
-    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out, probs
 
 
 def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_pos=None):
@@ -182,7 +185,7 @@ def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_po
         k_all, v_all = k, v
         new_kv = (k, v)
 
-    a = _attn(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
+    a, probs = _attn(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
     a = a.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], h * d)
     x = res + jnp.matmul(a, lp["o"]["w"])
 
@@ -190,7 +193,7 @@ def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_po
     y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
     y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
     x = res + jnp.matmul(y, lp["down"]["w"])
-    return x, new_kv
+    return x, new_kv, probs
 
 
 def llama_prefill(
@@ -204,7 +207,7 @@ def llama_prefill(
     """Full-sequence causal forward, writing a fresh KV cache of size cache_len.
 
     inputs_embeds (B, T, C); positions (B, T) int32; attn_mask (B, T) bool
-    (True = real token) or None. Returns (hidden (B,T,C), cache (2,L,B,Hkv,S,D)).
+    (True = real token) or None. Returns (hidden (B,T,C), cache (L,2,B,Hkv,S,D)).
     """
     b, t, c = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
@@ -216,13 +219,13 @@ def llama_prefill(
     bias = jnp.where(keep, 0.0, neg).astype(jnp.float32)
 
     def body(x, lp):
-        y, kv = _layer(cfg, lp, x, cos, sin, bias)
+        y, kv, _ = _layer(cfg, lp, x, cos, sin, bias)
         return y, jnp.stack(kv)  # (2, B, H, T, D)
 
     x, kvs = lax.scan(body, inputs_embeds, params["layers"])
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
-    # write into fixed-size cache
-    kvs = kvs.transpose(1, 0, 2, 3, 4, 5)  # (2, L, B, H, T, D)
+    # write into the fixed-size cache; layout (L, 2, B, H, S, D) is exactly
+    # what the decode-step layer scan consumes -- no per-step transposes
     pad = cache_len - t
     cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     return hidden, cache
@@ -236,13 +239,16 @@ def llama_decode_step(
     cache_pos: jnp.ndarray,
     positions: jnp.ndarray,
     attn_len_mask: jnp.ndarray,
+    collect_attn_layer: Optional[int] = None,
 ):
     """One-token incremental forward.
 
-    x (B, 1, C); cache (2, L, B, Hkv, S, D); cache_pos scalar int32 (write
+    x (B, 1, C); cache (L, 2, B, Hkv, S, D); cache_pos scalar int32 (write
     index); positions (B, 1) rope positions; attn_len_mask (B, S) bool =
     which cache slots are valid *after* this token is written.
-    Returns (hidden (B, 1, C), new cache).
+    Returns (hidden (B, 1, C), new cache, attn) where attn is the
+    head-mean attention (B, S) of layer ``collect_attn_layer`` (None if not
+    requested) -- feeds the alignment analyzer (alignment.py).
     """
     cos, sin = rope_cos_sin(cfg, positions)
     neg = jnp.finfo(jnp.float32).min
@@ -251,10 +257,13 @@ def llama_decode_step(
     def body(carry, inp):
         xx = carry
         lp, ckv = inp
-        y, new_kv = _layer(cfg, lp, xx, cos, sin, bias, cache_kv=(ckv[0], ckv[1]), cache_pos=cache_pos)
-        return y, jnp.stack(new_kv)
+        y, new_kv, probs = _layer(
+            cfg, lp, xx, cos, sin, bias, cache_kv=(ckv[0], ckv[1]), cache_pos=cache_pos
+        )
+        attn_mean = jnp.mean(probs[:, :, 0, :], axis=1)  # (B, S) head-mean
+        return y, (jnp.stack(new_kv), attn_mean)
 
-    cache_l = cache.transpose(1, 0, 2, 3, 4, 5)  # (L, 2, B, H, S, D)
-    x, new_cache_l = lax.scan(body, x, (params["layers"], cache_l))
+    x, (new_cache, attns) = lax.scan(body, x, (params["layers"], cache))
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
-    return hidden, new_cache_l.transpose(1, 0, 2, 3, 4, 5)
+    attn = attns[collect_attn_layer] if collect_attn_layer is not None else None
+    return hidden, new_cache, attn

@@ -59,6 +59,7 @@ class T3Config:
     max_speech_tokens: int = 4096
     speech_cond_prompt_len: int = 150
     speaker_embed_size: int = 256
+    alignment_layer: int = 9  # attention layer read by the alignment analyzer
     llama: LlamaConfig = field(default_factory=lambda: LLAMA_520M)
 
     @property
@@ -82,9 +83,11 @@ def init_t3(key, cfg: T3Config = T3Config(), dtype=jnp.float32):
     def emb(k, n):
         return {"w": (jax.random.normal(k, (n, d)) * 0.02).astype(dtype)}
 
+    from ...runtime.precision import cast_floating
+
     return {
         "llama": init_llama(ks[0], cfg.llama, dtype),
-        "cond_enc": init_cond_enc(ks[1], d, cfg.speaker_embed_size),
+        "cond_enc": cast_floating(init_cond_enc(ks[1], d, cfg.speaker_embed_size), dtype),
         "text_emb": emb(ks[2], cfg.text_tokens_dict_size),
         "speech_emb": emb(ks[3], cfg.speech_tokens_dict_size),
         "text_pos_emb": emb(ks[4], cfg.max_text_tokens + 2),
@@ -203,6 +206,7 @@ def t3_generate(
     rng: jax.Array,
     sampling: SamplingConfig = SamplingConfig(),
     max_new_tokens: int = 1000,
+    alignment: bool = False,
 ) -> GenResult:
     """Batched CFG speech-token generation. All shapes static; per-row EOS
     via done-masks; early exit when every row finished.
@@ -213,6 +217,9 @@ def t3_generate(
     b, tmax = text_tokens.shape
     cfg_on = sampling.cfg_weight > 0
     n_bos = 2 if cfg_on else 1
+    pdt = p["speech_emb"]["w"].dtype
+    speaker_emb = speaker_emb.astype(pdt)
+    emotion_adv = emotion_adv.astype(pdt)
     cond = t3_cond_prefix(p, cfg, speaker_emb, prompt_tokens, emotion_adv)
     pre = t3_build_prefill(p, cfg, cond, text_tokens, text_lens, sampling.cfg_weight)
 
@@ -234,12 +241,24 @@ def t3_generate(
 
     valid0 = jnp.pad(pre.valid, ((0, 0), (0, cache_len - s0)))
 
-    def sample_step(logits_2b, seen, key, step_idx, done):
+    def sample_step(logits_2b, seen, key, done, align_state, attn_row, step_i):
+        logits_2b = logits_2b.astype(jnp.float32)  # sampling chain in fp32
         if cfg_on:
             lc, lu = logits_2b[:rows_b], logits_2b[rows_b:]
             logits = cfg_combine(lc, lu, sampling.cfg_weight)
         else:
             logits = logits_2b
+        if alignment:
+            from .alignment import alignment_step
+
+            align_state, logits = alignment_step(
+                align_state,
+                attn_row[:rows_b],
+                text_lens,
+                step_i,
+                logits,
+                cfg.stop_speech_token,
+            )
         logits = process_logits(logits, seen, sampling)
         if sampling.greedy:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -247,7 +266,7 @@ def t3_generate(
             u = jax.random.uniform(key, (rows_b,))
             tok = sample_from_logits(logits, u)
         tok = jnp.where(done, cfg.stop_speech_token, tok)
-        return tok
+        return tok, align_state
 
     class Carry(NamedTuple):
         cache: jnp.ndarray
@@ -256,17 +275,27 @@ def t3_generate(
         seen: jnp.ndarray  # (B, vocab)
         done: jnp.ndarray  # (B,)
         last_logits: jnp.ndarray  # (2B, vocab)
+        last_attn: jnp.ndarray  # (2B, S_text) alignment-layer attention
+        align: "AlignState"
         key: jax.Array
         i: jnp.ndarray
 
     seen0 = jnp.zeros((rows_b, vocab), bool).at[:, cfg.start_speech_token].set(True)
+
+    from .alignment import init_align_state
+
+    align0 = init_align_state(rows_b, max_new_tokens if alignment else 1, tmax)
+    text_slice = (cfg.n_cond, cfg.n_cond + tmax)
+    attn0 = jnp.zeros((pre.embeds.shape[0], tmax), jnp.float32)
 
     def cond_fn(cy: Carry):
         return (cy.i < max_new_tokens) & ~jnp.all(cy.done)
 
     def body_fn(cy: Carry) -> Carry:
         key, sub = jax.random.split(cy.key)
-        tok = sample_step(cy.last_logits, cy.seen, sub, cy.i, cy.done)  # (B,)
+        tok, align = sample_step(
+            cy.last_logits, cy.seen, sub, cy.done, cy.align, cy.last_attn, cy.i
+        )  # (B,)
         newly_done = tok == cfg.stop_speech_token
         tokens = cy.tokens.at[:, cy.i].set(tok)
         seen = cy.seen.at[jnp.arange(rows_b), tok].set(True)
@@ -282,11 +311,23 @@ def t3_generate(
         write_pos = s0 + cy.i
         rope_pos = (base_pos + cy.i)[:, None]  # sequential rope continuation
         valid = cy.valid.at[:, write_pos].set(True)
-        h, cache = llama_decode_step(
-            p["llama"], cfg.llama, emb, cy.cache, write_pos, rope_pos, valid
+        h, cache, attn = llama_decode_step(
+            p["llama"],
+            cfg.llama,
+            emb,
+            cy.cache,
+            write_pos,
+            rope_pos,
+            valid,
+            collect_attn_layer=cfg.alignment_layer if alignment else None,
         )
         logits = linear(p["speech_head"], h[:, 0])
-        return Carry(cache, valid, tokens, seen, done, logits, key, cy.i + 1)
+        attn_text = (
+            attn[:, text_slice[0] : text_slice[1]].astype(jnp.float32)
+            if alignment
+            else cy.last_attn
+        )
+        return Carry(cache, valid, tokens, seen, done, logits, attn_text, align, key, cy.i + 1)
 
     init = Carry(
         cache=cache,
@@ -295,6 +336,8 @@ def t3_generate(
         seen=seen0,
         done=jnp.zeros((rows_b,), bool),
         last_logits=logits0,
+        last_attn=attn0,
+        align=align0,
         key=rng,
         i=jnp.int32(0),
     )

@@ -140,10 +140,12 @@ class ChatterboxTTS:
         k1, k2, k3 = jax.random.split(key, 3)
         t3_cfg = t3_cfg or T3Config()
         s3gen_cfg = s3gen_cfg or S3GenConfig()
+        # jit the inits: one fused executable each instead of thousands of
+        # tiny RNG dispatches (critical on remote/tunneled devices)
         return cls(
-            t3_params=init_t3(k1, t3_cfg),
-            s3gen_params=init_s3gen(k2, s3gen_cfg),
-            ve_params=init_voice_encoder(k3),
+            t3_params=jax.jit(lambda k: init_t3(k, t3_cfg))(k1),
+            s3gen_params=jax.jit(lambda k: init_s3gen(k, s3gen_cfg))(k2),
+            ve_params=jax.jit(init_voice_encoder)(k3),
             tokenizer=None,
             t3_cfg=t3_cfg,
             s3gen_cfg=s3gen_cfg,

@@ -53,7 +53,8 @@ class ChatterboxVC:
     @classmethod
     def from_random(cls, seed: int = 0, s3gen_cfg: S3GenConfig = None) -> "ChatterboxVC":
         s3gen_cfg = s3gen_cfg or S3GenConfig()
-        return cls(s3gen_params=init_s3gen(jax.random.PRNGKey(seed), s3gen_cfg), s3gen_cfg=s3gen_cfg)
+        params = jax.jit(lambda k: init_s3gen(k, s3gen_cfg))(jax.random.PRNGKey(seed))
+        return cls(s3gen_params=params, s3gen_cfg=s3gen_cfg)
 
     def set_target_voice(self, wav_fpath_or_array):
         """vc.py:76-81: 10 s cap on the reference voice."""

@@ -79,7 +79,7 @@ def test_prefill_matches_hf():
     pos = jnp.broadcast_to(jnp.arange(10), (2, 10))
     hidden, cache = llama_prefill(params, SMALL, jnp.asarray(x), pos, None, cache_len=16)
     np.testing.assert_allclose(np.asarray(hidden), ref, atol=2e-4, rtol=1e-3)
-    assert cache.shape == (2, SMALL.num_hidden_layers, 2, 4, 16, 32)
+    assert cache.shape == (SMALL.num_hidden_layers, 2, 2, 4, 16, 32)
 
 
 def test_decode_matches_hf_incremental():
@@ -104,7 +104,7 @@ def test_decode_matches_hf_incremental():
         cur = t0 + i
         posi = jnp.full((b, 1), cur, jnp.int32)
         len_mask = (jnp.arange(cache_len) <= cur)[None].repeat(b, 0)
-        h, cache = llama_decode_step(
+        h, cache, _ = llama_decode_step(
             params, SMALL, jnp.asarray(xs[:, i : i + 1]), cache, jnp.int32(cur), posi, len_mask
         )
         np.testing.assert_allclose(
