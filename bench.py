@@ -58,7 +58,7 @@ def main():
         tts = ChatterboxTTS.from_random(seed=0, t3_cfg=t3_cfg, s3gen_cfg=s3_cfg)
         args.tokens = min(args.tokens, 32)
     else:
-        tts = ChatterboxTTS.from_random(seed=0)
+        tts = ChatterboxTTS.from_random(seed=0, synthetic=True)
         if not args.fp32:
             from chatterbox_tpu.runtime.precision import apply_tts_precision
 
@@ -72,7 +72,11 @@ def main():
     texts = [text] * args.batch
 
     def run(seed):
-        return tts.generate_batch(texts, max_new_tokens=args.tokens, seed=seed)
+        # min_new_tokens pins the decode length: throughput is measured on a
+        # deterministic amount of work regardless of weight values
+        return tts.generate_batch(
+            texts, max_new_tokens=args.tokens, seed=seed, min_new_tokens=args.tokens - 1
+        )
 
     t0 = time.time()
     wavs = run(0)  # compile + run

@@ -24,6 +24,7 @@ class SamplingConfig:
     repetition_penalty: float = 1.2
     cfg_weight: float = 0.5
     greedy: bool = False  # do_sample=False equivalent (argmax after processing)
+    min_new_tokens: int = 0  # suppress EOS before this many tokens (HF min_new_tokens)
 
 
 def apply_repetition_penalty(logits, seen_mask, penalty):

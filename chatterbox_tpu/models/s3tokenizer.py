@@ -86,7 +86,7 @@ def s3_encode_mels(p, cfg: S3TokenizerConfig, mels: jnp.ndarray, mel_lens=None):
     x = jax.nn.gelu(conv1d(p["conv1"], mels, stride=2, padding=1), approximate=False)
     x = jax.nn.gelu(conv1d(p["conv2"], x, stride=2, padding=1), approximate=False)
     t = x.shape[1]
-    x = x + jnp.asarray(_sinusoids(cfg.n_audio_ctx, cfg.n_state))[None, :t]
+    x = x + jnp.asarray(_sinusoids(cfg.n_audio_ctx, cfg.n_state))[None, :t].astype(x.dtype)
     key_mask = None
     if mel_lens is not None:
         tok_lens = mel_lens // 4

@@ -259,6 +259,12 @@ def t3_generate(
                 logits,
                 cfg.stop_speech_token,
             )
+        if sampling.min_new_tokens > 0:
+            # HF min_new_tokens semantics: EOS unreachable before the minimum
+            eos_col = jnp.arange(logits.shape[-1])[None] == cfg.stop_speech_token
+            logits = jnp.where(
+                (step_i < sampling.min_new_tokens) & eos_col, jnp.finfo(jnp.float32).min, logits
+            )
         logits = process_logits(logits, seen, sampling)
         if sampling.greedy:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -95,6 +95,23 @@ class ChatterboxTTS:
         self._jit_t3 = {}
         self._jit_s3gen = {}
         self._jit_embed_ref = {}
+        self.mesh = None  # set via with_mesh() for multi-chip execution
+
+    def with_mesh(self, mesh, model_sharded: bool = False) -> "ChatterboxTTS":
+        """Place params on a ("data","model") mesh for sharded generation.
+
+        Batches shard over "data"; T3 weights optionally tensor-shard over
+        "model" (parallel/sharding.py specs). Batch size must be a multiple
+        of the data-axis size."""
+        from ..parallel.sharding import replicated, shard_params, t3_param_specs
+
+        self.mesh = mesh
+        specs = t3_param_specs(self.t3_params) if model_sharded else None
+        self.t3_params = shard_params(self.t3_params, mesh, specs)
+        self.s3gen_params = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), self.s3gen_params
+        )
+        return self
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -133,19 +150,36 @@ class ChatterboxTTS:
 
     @classmethod
     def from_random(
-        cls, seed: int = 0, t3_cfg: T3Config = None, s3gen_cfg: S3GenConfig = None
+        cls,
+        seed: int = 0,
+        t3_cfg: T3Config = None,
+        s3gen_cfg: S3GenConfig = None,
+        synthetic: bool = False,
     ) -> "ChatterboxTTS":
-        """Random-init pipeline (benchmarks / tests without weights)."""
+        """Random-init pipeline (benchmarks / tests without weights).
+
+        ``synthetic=True`` uses the RNG-free iota init (runtime/fast_init.py)
+        -- required on the tunneled TPU where threefry compiles in minutes."""
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         t3_cfg = t3_cfg or T3Config()
         s3gen_cfg = s3gen_cfg or S3GenConfig()
-        # jit the inits: one fused executable each instead of thousands of
-        # tiny RNG dispatches (critical on remote/tunneled devices)
+        if synthetic:
+            from ..runtime.fast_init import synthetic_init
+
+            t3_params = synthetic_init(lambda k: init_t3(k, t3_cfg))
+            s3gen_params = synthetic_init(lambda k: init_s3gen(k, s3gen_cfg))
+            ve_params = synthetic_init(init_voice_encoder)
+        else:
+            # jit the inits: one fused executable each instead of thousands
+            # of tiny RNG dispatches
+            t3_params = jax.jit(lambda k: init_t3(k, t3_cfg))(k1)
+            s3gen_params = jax.jit(lambda k: init_s3gen(k, s3gen_cfg))(k2)
+            ve_params = jax.jit(init_voice_encoder)(k3)
         return cls(
-            t3_params=jax.jit(lambda k: init_t3(k, t3_cfg))(k1),
-            s3gen_params=jax.jit(lambda k: init_s3gen(k, s3gen_cfg))(k2),
-            ve_params=jax.jit(init_voice_encoder)(k3),
+            t3_params=t3_params,
+            s3gen_params=s3gen_params,
+            ve_params=ve_params,
             tokenizer=None,
             t3_cfg=t3_cfg,
             s3gen_cfg=s3gen_cfg,
@@ -205,6 +239,7 @@ class ChatterboxTTS:
         temperature: float = 0.8,
         seed: int = 0,
         max_new_tokens: int = 1000,
+        min_new_tokens: int = 0,
     ) -> np.ndarray:
         """Single-utterance API-parity generate (tts.py:208-272) -> (1, T)."""
         wavs = self.generate_batch(
@@ -218,6 +253,7 @@ class ChatterboxTTS:
             temperature=temperature,
             seed=seed,
             max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens,
         )
         return wavs[0][None]
 
@@ -233,6 +269,7 @@ class ChatterboxTTS:
         temperature: float = 0.8,
         seed: int = 0,
         max_new_tokens: int = 1000,
+        min_new_tokens: int = 0,
     ) -> List[np.ndarray]:
         """Batched generation: one T3 decode + one S3Gen over the batch."""
         conds = conds or self.conds
@@ -254,17 +291,27 @@ class ChatterboxTTS:
             min_p=min_p,
             repetition_penalty=repetition_penalty,
             cfg_weight=cfg_weight,
+            min_new_tokens=min_new_tokens,
         )
 
         t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling)
         t3c = self._tile_conds(conds.t3, b)
+        tok_in, lens_in = jnp.asarray(text_tokens), jnp.asarray(lens)
+        spk, ptk, emo = t3c.speaker_emb, t3c.prompt_tokens, t3c.emotion_adv
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dsh = NamedSharding(self.mesh, P("data"))
+            tok_in, lens_in, spk, ptk, emo = (
+                jax.device_put(x, dsh) for x in (tok_in, lens_in, spk, ptk, emo)
+            )
         res = t3(
             self.t3_params,
-            jnp.asarray(text_tokens),
-            jnp.asarray(lens),
-            t3c.speaker_emb,
-            t3c.prompt_tokens,
-            t3c.emotion_adv,
+            tok_in,
+            lens_in,
+            spk,
+            ptk,
+            emo,
             jax.random.PRNGKey(seed),
         )
         tokens = np.asarray(res.tokens)
