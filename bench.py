@@ -27,6 +27,9 @@ def main():
 
     import jax
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     if args.cpu or args.tiny:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -64,9 +67,11 @@ def main():
 
             apply_tts_precision(tts)
 
+    log("model init done")
     rng = np.random.default_rng(0)
     ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)
     tts.prepare_conditionals(ref, exaggeration=0.5)
+    log("conditioning done")
 
     text = "The quick brown fox jumps over the lazy dog near the river bank today."
     texts = [text] * args.batch
@@ -81,6 +86,7 @@ def main():
     t0 = time.time()
     wavs = run(0)  # compile + run
     compile_s = time.time() - t0
+    log(f"first call (compile+run) {compile_s:.1f}s")
 
     times, audio_secs = [], []
     for i in range(args.iters):

@@ -77,6 +77,7 @@ def conv1d(p, x, stride=1, padding=0, dilation=1, groups=1):
     """
     if isinstance(padding, int):
         padding = (padding, padding)
+    x = x.astype(p["w"].dtype)  # weights define compute precision
     y = lax.conv_general_dilated(
         x,
         p["w"],
@@ -109,6 +110,7 @@ def conv_transpose1d(p, x, stride, padding=0):
     w = p["w"].shape[0]
     kern = jnp.flip(p["w"], axis=0)
     pad = (w - 1 - padding, w - 1 - padding)
+    x = x.astype(kern.dtype)  # weights define compute precision
     y = lax.conv_general_dilated(
         x,
         kern,
@@ -128,6 +130,7 @@ def conv2d(p, x, stride=(1, 1), padding=(0, 0)):
     if isinstance(padding, int):
         padding = (padding, padding)
     pads = tuple((pp, pp) if isinstance(pp, int) else pp for pp in padding)
+    x = x.astype(p["w"].dtype)
     y = lax.conv_general_dilated(
         x,
         p["w"],

@@ -57,7 +57,8 @@ def rel_pos_encoding(x: jnp.ndarray, d_model: int):
     pe = _espnet_rel_pe(d_model, max(t, 16))
     center = pe.shape[1] // 2
     pos = jnp.asarray(pe[:, center - t + 1 : center + t])
-    return x * np.sqrt(d_model), pos
+    # python-float scale: weak-typed, preserves bf16 activations
+    return x * float(np.sqrt(d_model)), pos
 
 
 def _rel_shift_bd(bd: jnp.ndarray) -> jnp.ndarray:

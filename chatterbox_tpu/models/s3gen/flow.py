@@ -105,7 +105,9 @@ def solve_euler(p, cfg: FlowConfig, z, mu, spks, cond, mask=None):
         dphi = (1.0 + r) * v_cond - r * v_uncond
         return x + dt * dphi, None
 
-    ts = jnp.stack([jnp.asarray(t_span[:-1]), jnp.asarray(np.diff(t_span))], axis=1)
+    ts = jnp.stack(
+        [jnp.asarray(t_span[:-1]), jnp.asarray(np.diff(t_span))], axis=1
+    ).astype(z.dtype)
     x, _ = lax.scan(step, z, ts)
     return x
 

@@ -254,16 +254,40 @@ def llama_decode_step(
     neg = jnp.finfo(jnp.float32).min
     bias = jnp.where(attn_len_mask[:, None, None, :], 0.0, neg).astype(jnp.float32)
 
-    def body(carry, inp):
-        xx = carry
-        lp, ckv = inp
-        y, new_kv, probs = _layer(
-            cfg, lp, xx, cos, sin, bias, cache_kv=(ckv[0], ckv[1]), cache_pos=cache_pos
-        )
-        attn_mean = jnp.mean(probs[:, :, 0, :], axis=1)  # (B, S) head-mean
-        return y, (jnp.stack(new_kv), attn_mean)
+    h_heads, d = cfg.num_attention_heads, cfg.head_dim
 
-    x, (new_cache, attns) = lax.scan(body, x, (params["layers"], cache))
+    def body(carry, inp):
+        """Cache rides the scan carry: per step we WRITE only the new token's
+        K/V slice (L x 2 x B x H x 1 x D) instead of re-materializing the
+        whole cache as scan outputs -- saves a full-cache copy per token."""
+        xx, full_cache = carry
+        lp, layer_idx = inp
+        ckv = lax.dynamic_index_in_dim(full_cache, layer_idx, 0, keepdims=False)
+
+        res = xx
+        y = rms_norm(lp["input_ln"], xx, cfg.rms_norm_eps)
+        q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h_heads, d)
+        k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
+        v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+        q, k = apply_rope(q, k, cos, sin)
+        new_kv = jnp.stack([k, v]).astype(full_cache.dtype)  # (2, B, H, 1, D)
+        full_cache = lax.dynamic_update_slice(
+            full_cache, new_kv[None], (layer_idx, 0, 0, 0, cache_pos, 0)
+        )
+        ckv = lax.dynamic_update_slice(ckv, new_kv, (0, 0, 0, cache_pos, 0))
+        a, probs = _attn(q, ckv[0].astype(q.dtype), ckv[1].astype(q.dtype), bias)
+        a = a.transpose(0, 2, 1, 3).reshape(xx.shape[0], xx.shape[1], h_heads * d)
+        xx = res + jnp.matmul(a, lp["o"]["w"])
+        res = xx
+        y = rms_norm(lp["post_ln"], xx, cfg.rms_norm_eps)
+        y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+        xx = res + jnp.matmul(y, lp["down"]["w"])
+
+        attn_mean = jnp.mean(probs[:, :, 0, :], axis=1)  # (B, S) head-mean
+        return (xx, full_cache), attn_mean
+
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+    (x, new_cache), attns = lax.scan(body, (x, cache), (params["layers"], layer_ids))
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
     attn = attns[collect_attn_layer] if collect_attn_layer is not None else None
     return hidden, new_cache, attn

@@ -89,9 +89,14 @@ def num_wins(n_frames: int, step: int, cfg: VoiceEncoderConfig) -> int:
     return n_wins
 
 
-def ve_embed_from_mels(p, cfg: VoiceEncoderConfig, mels: jnp.ndarray) -> jnp.ndarray:
+def ve_embed_from_mels(
+    p, cfg: VoiceEncoderConfig, mels: jnp.ndarray, n_valid_windows=None
+) -> jnp.ndarray:
     """(B, T_mel, 40) mels -> (B, 256) utterance embeddings: windowed partials
-    at rate 1.3, mean + L2-norm (voice_encoder.py:162-199)."""
+    at rate 1.3, mean + L2-norm (voice_encoder.py:162-199).
+
+    ``n_valid_windows`` (B,) limits the window average for zero-padded rows
+    (lets callers bucket wav lengths while keeping exact semantics)."""
     t_mel = mels.shape[1]
     step = frame_step(cfg, cfg.default_rate)
     n = num_wins(t_mel, step, cfg)
@@ -103,7 +108,13 @@ def ve_embed_from_mels(p, cfg: VoiceEncoderConfig, mels: jnp.ndarray) -> jnp.nda
     b = partials.shape[0]
     flat = partials.reshape(b * n, cfg.partial_frames, cfg.num_mels)
     embeds = ve_forward(p, flat).reshape(b, n, -1)
-    raw = jnp.mean(embeds, axis=1)
+    if n_valid_windows is None:
+        raw = jnp.mean(embeds, axis=1)
+    else:
+        wmask = (jnp.arange(n)[None] < n_valid_windows[:, None])[..., None]
+        raw = jnp.sum(embeds * wmask, axis=1) / jnp.maximum(
+            n_valid_windows[:, None], 1
+        ).astype(embeds.dtype)
     return raw / jnp.linalg.norm(raw, axis=1, keepdims=True)
 
 

@@ -185,10 +185,47 @@ class ChatterboxTTS:
             s3gen_cfg=s3gen_cfg,
         )
 
+    def save_native(self, out_dir):
+        """Write the converted JAX params as native safetensors pytrees so
+        later loads skip the torch-layout conversion (checkpoint/pytree_io)."""
+        from ..checkpoint.pytree_io import save_params
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_params(self.t3_params, out / "t3.jax.safetensors")
+        save_params(self.s3gen_params, out / "s3gen.jax.safetensors")
+        save_params(self.ve_params, out / "ve.jax.safetensors")
+        if self.conds is not None:
+            self.conds.save(out / "conds.safetensors")
+
+    @classmethod
+    def from_native(cls, ckpt_dir, tokenizer_json=None) -> "ChatterboxTTS":
+        """Load a save_native() checkpoint."""
+        from ..checkpoint.pytree_io import load_params
+
+        ckpt = Path(ckpt_dir)
+        tok = None
+        tok_path = tokenizer_json or (ckpt / "tokenizer.json")
+        if Path(tok_path).exists():
+            tok = EnTokenizer(str(tok_path))
+        obj = cls(
+            t3_params=load_params(ckpt / "t3.jax.safetensors"),
+            s3gen_params=load_params(ckpt / "s3gen.jax.safetensors"),
+            ve_params=load_params(ckpt / "ve.jax.safetensors"),
+            tokenizer=tok,
+        )
+        if (ckpt / "conds.safetensors").exists():
+            obj.conds = Conditionals.load(ckpt / "conds.safetensors")
+        return obj
+
     # ---------------------------------------------------------- conditioning
     def prepare_conditionals(self, wav_fpath_or_array, exaggeration: float = 0.5) -> Conditionals:
         """Reference wav -> Conditionals (tts.py:182-206). Pure function of
         inputs; also stored on self for generate() convenience parity."""
+        from ..core.dsp import ve_mel_spectrogram
+        from ..models.s3tokenizer import s3_tokenize
+        from ..models.voice_encoder import frame_step, num_wins, ve_embed_from_mels
+
         if isinstance(wav_fpath_or_array, (str, Path)):
             ref24 = load_wav(wav_fpath_or_array, S3GEN_SR)
         else:
@@ -197,27 +234,52 @@ class ChatterboxTTS:
 
         # S3Gen ref: cap 10 s, pad to whole 40 ms tokens for clean 2:1 mel:token
         dec_ref = pad_to_token_multiple(ref24[: self.DEC_COND_LEN], S3GEN_SR)
-        n24 = len(dec_ref)
-        fn = self._jit_embed_ref.get(n24)
-        if fn is None:
-            fn = jax.jit(lambda p, w: embed_ref(p, self.s3gen_cfg, w, S3GEN_SR))
-            self._jit_embed_ref[n24] = fn
-        ref_dict = fn(self.s3gen_params, jnp.asarray(dec_ref)[None])
 
-        # T3 prompt tokens: 6 s cap, 150 tokens (tts.py:192-195)
-        from ..models.s3tokenizer import s3_tokenize
-
+        # T3 prompt source: 6 s cap (tts.py:192-195)
         enc_ref = pad_to_token_multiple(ref16[: self.ENC_COND_LEN])
-        prompt_tokens, _ = s3_tokenize(
-            self.s3gen_params["tokenizer"],
-            self.s3gen_cfg.tokenizer,
-            jnp.asarray(enc_ref)[None],
-            max_len=self.t3_cfg.speech_cond_prompt_len,
-        )
 
-        # VoiceEncoder speaker embedding (trim + rate-1.3 partials)
+        # VoiceEncoder input: trim silence host-side, bucket to 0.5 s, mask
+        # the padded windows out of the partial average
         ve_wav = trim_silence(ref16, top_db=20)
-        ve_embed = ve_embed_utterance(self.ve_params, self.ve_cfg, jnp.asarray(ve_wav)[None])
+        bucket = 8000  # 0.5 s at 16 kHz
+        ve_len = max(int(np.ceil(len(ve_wav) / bucket)) * bucket, bucket)
+        ve_padded = np.zeros(ve_len, np.float32)
+        ve_padded[: len(ve_wav)] = ve_wav
+        step = frame_step(self.ve_cfg, self.ve_cfg.default_rate)
+        valid_mel_frames = 1 + len(ve_wav) // 160  # center=True mel frames
+        n_valid = num_wins(max(valid_mel_frames, 1), step, self.ve_cfg)
+
+        key = (len(dec_ref), len(enc_ref), ve_len)
+        fn = self._jit_embed_ref.get(key)
+        if fn is None:
+            s3gen_cfg, ve_cfg, t3_cfg, ve_params = (
+                self.s3gen_cfg,
+                self.ve_cfg,
+                self.t3_cfg,
+                self.ve_params,
+            )
+
+            @jax.jit
+            def fn(sp, vp, dec_w, enc_w, ve_w, nv):
+                ref_dict = embed_ref(sp, s3gen_cfg, dec_w, S3GEN_SR)
+                prompt_tokens, _ = s3_tokenize(
+                    sp["tokenizer"], s3gen_cfg.tokenizer, enc_w,
+                    max_len=t3_cfg.speech_cond_prompt_len,
+                )
+                mels = ve_mel_spectrogram(ve_w).transpose(0, 2, 1)
+                ve_embed = ve_embed_from_mels(vp, ve_cfg, mels, n_valid_windows=nv)
+                return ref_dict, prompt_tokens, ve_embed
+
+            self._jit_embed_ref[key] = fn
+
+        ref_dict, prompt_tokens, ve_embed = fn(
+            self.s3gen_params,
+            self.ve_params,
+            jnp.asarray(dec_ref)[None],
+            jnp.asarray(enc_ref)[None],
+            jnp.asarray(ve_padded)[None],
+            jnp.asarray([n_valid], jnp.int32),
+        )
 
         conds = Conditionals(
             T3CondData(ve_embed, prompt_tokens.astype(jnp.int32), jnp.full((1,), exaggeration)),

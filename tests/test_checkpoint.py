@@ -1,0 +1,80 @@
+"""Checkpoint layer tests: safetensors round-trips, pytree IO, native
+pipeline save/load."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chatterbox_tpu.checkpoint.safetensors_io import load_safetensors, save_safetensors
+from chatterbox_tpu.checkpoint.pytree_io import load_params, save_params
+
+
+def test_safetensors_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a": rng.standard_normal((3, 4)).astype(np.float32),
+        "b/c": rng.integers(0, 100, (7,)).astype(np.int64),
+        "d": np.asarray(1.5, np.float32).reshape(()),
+    }
+    p = tmp_path / "x.safetensors"
+    save_safetensors(tensors, p, metadata={"k": "v"})
+    back = load_safetensors(p)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_safetensors_reads_torch_written(tmp_path):
+    """Our reader must parse files written by the Rust safetensors crate."""
+    import torch
+    from safetensors.torch import save_file
+
+    t = {
+        "w": torch.randn(5, 3),
+        "bf": torch.randn(4, 2).to(torch.bfloat16),
+        "i": torch.arange(6, dtype=torch.int32),
+    }
+    p = tmp_path / "torch.safetensors"
+    save_file(t, str(p))
+    back = load_safetensors(p)
+    np.testing.assert_allclose(back["w"], t["w"].numpy(), atol=1e-7)
+    np.testing.assert_allclose(back["bf"], t["bf"].float().numpy(), atol=1e-7)
+    np.testing.assert_array_equal(back["i"], t["i"].numpy())
+
+
+def test_pytree_io_roundtrip(tmp_path):
+    tree = {
+        "layers": [
+            {"w": np.ones((2, 3), np.float32), "b": np.zeros((3,), np.float32)},
+            {"w": np.full((2, 3), 2.0, np.float32)},
+        ],
+        "emb": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "maybe": None,
+    }
+    p = tmp_path / "params.safetensors"
+    save_params(tree, p)
+    back = load_params(p, device_put=False)
+    assert back["maybe"] is None
+    assert isinstance(back["layers"], list) and len(back["layers"]) == 2
+    np.testing.assert_array_equal(back["layers"][0]["w"], tree["layers"][0]["w"])
+    np.testing.assert_array_equal(back["emb"]["w"], tree["emb"]["w"])
+
+
+def test_pipeline_native_save_load(tmp_path):
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+    from test_pipeline import TINY_S3GEN, TINY_T3
+
+    tts = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+    rng = np.random.default_rng(1)
+    tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    tts.save_native(tmp_path)
+    tts2 = ChatterboxTTS.from_native(tmp_path)
+    tts2.t3_cfg, tts2.s3gen_cfg = TINY_T3, TINY_S3GEN
+    np.testing.assert_allclose(
+        np.asarray(tts2.t3_params["speech_head"]["w"]),
+        np.asarray(tts.t3_params["speech_head"]["w"]),
+    )
+    assert tts2.conds is not None
+    w = tts2.generate("Hello.", max_new_tokens=6, seed=0)
+    assert w.shape[0] == 1 and np.isfinite(w).all()
