@@ -240,6 +240,7 @@ def llama_decode_step(
     positions: jnp.ndarray,
     attn_len_mask: jnp.ndarray,
     collect_attn_layer: Optional[int] = None,
+    use_pallas: bool = False,
 ):
     """One-token incremental forward.
 
@@ -275,7 +276,15 @@ def llama_decode_step(
             full_cache, new_kv[None], (layer_idx, 0, 0, 0, cache_pos, 0)
         )
         ckv = lax.dynamic_update_slice(ckv, new_kv, (0, 0, 0, cache_pos, 0))
-        a, probs = _attn(q, ckv[0].astype(q.dtype), ckv[1].astype(q.dtype), bias)
+        if use_pallas and collect_attn_layer is None:
+            from ...ops.flash_decode import flash_decode_attention
+
+            a = flash_decode_attention(
+                q, ckv[0].astype(q.dtype), ckv[1].astype(q.dtype), attn_len_mask
+            )
+            probs = jnp.zeros((xx.shape[0], h_heads, 1, ckv.shape[-2]), jnp.float32)
+        else:
+            a, probs = _attn(q, ckv[0].astype(q.dtype), ckv[1].astype(q.dtype), bias)
         a = a.transpose(0, 2, 1, 3).reshape(xx.shape[0], xx.shape[1], h_heads * d)
         xx = res + jnp.matmul(a, lp["o"]["w"])
         res = xx

@@ -207,6 +207,7 @@ def t3_generate(
     sampling: SamplingConfig = SamplingConfig(),
     max_new_tokens: int = 1000,
     alignment: bool = False,
+    use_pallas: bool = False,
 ) -> GenResult:
     """Batched CFG speech-token generation. All shapes static; per-row EOS
     via done-masks; early exit when every row finished.
@@ -326,6 +327,7 @@ def t3_generate(
             rope_pos,
             valid,
             collect_attn_layer=cfg.alignment_layer if alignment else None,
+            use_pallas=use_pallas,
         )
         logits = linear(p["speech_head"], h[:, 0])
         attn_text = (

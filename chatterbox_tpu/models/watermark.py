@@ -56,58 +56,75 @@ def _pn_sequence(cfg_seed: int, bits: int, band: int) -> np.ndarray:
 
 
 class SpreadSpectrumWatermarker:
-    """Deterministic spread-spectrum watermarker (default engine)."""
+    """Deterministic spread-spectrum watermarker (default engine).
+
+    Device work is jitted (cached per input shape) -- eager DSP ops are
+    pathologically slow on remote/tunneled backends."""
 
     def __init__(self, cfg: WatermarkConfig = WatermarkConfig()):
         self.cfg = cfg
+        self._jit_apply = {}
+        self._jit_extract = {}
 
-    def _stft(self, wav):
-        win = dsp.hann_window(self.cfg.n_fft)
-        return dsp.stft(jnp.atleast_2d(wav), self.cfg.n_fft, self.cfg.hop, win)
+    def _apply_fn(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def apply(x, pattern):
+            win = dsp.hann_window(cfg.n_fft)
+            re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
+            mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+            scale = 1.0 + cfg.strength * pattern[None, None, :]
+            mag_band = mag[..., cfg.band_lo : cfg.band_hi] * scale
+            ratio = mag_band / mag[..., cfg.band_lo : cfg.band_hi]
+            re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
+            im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
+            return dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
+
+        return apply
 
     def apply_watermark(self, wav, watermark=None, sample_rate: int = 24000):
         """wav (T,) or (B, T) float32 -> watermarked, same shape/length."""
         cfg = self.cfg
         squeeze = np.ndim(wav) == 1
-        x = jnp.atleast_2d(jnp.asarray(wav, jnp.float32))
+        x = np.atleast_2d(np.asarray(wav, np.float32))
         t_len = x.shape[-1]
         pad = (-t_len) % cfg.hop  # frame-align so the iSTFT covers the tail
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-        re, im = self._stft(x)
-        mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+        x = np.pad(x, ((0, 0), (0, pad)))
         band = cfg.band_hi - cfg.band_lo
-        pn = jnp.asarray(_pn_sequence(cfg.seed, cfg.payload_bits, band))
+        pn = _pn_sequence(cfg.seed, cfg.payload_bits, band)
         if watermark is None:
             payload = np.ones(cfg.payload_bits, np.float32)
         else:
             payload = np.asarray(watermark, np.float32) * 2 - 1
-        pattern = jnp.einsum("k,kf->f", jnp.asarray(payload), pn) / np.sqrt(
-            cfg.payload_bits
-        )  # unit-RMS band pattern (rows orthonormal)
-        # frame-wise energy-proportional magnitude modulation in the band
-        scale = 1.0 + cfg.strength * pattern[None, None, :]
-        mag_band = mag[..., cfg.band_lo : cfg.band_hi] * scale
-        ratio = mag_band / mag[..., cfg.band_lo : cfg.band_hi]
-        re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
-        im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
-        win = dsp.hann_window(cfg.n_fft)
-        y = dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
-        y = jnp.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
-        y = np.asarray(y)
+        # unit-RMS band pattern (rows orthonormal)
+        pattern = (payload @ pn) / np.sqrt(cfg.payload_bits)
+        fn = self._jit_apply.setdefault(x.shape, self._apply_fn())
+        y = np.asarray(fn(jnp.asarray(x), jnp.asarray(pattern)))
+        y = np.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
         return y[0] if squeeze else y
 
     def get_watermark(self, wav, sample_rate: int = 24000):
         """Extract the payload correlation -> bit array (payload_bits,)."""
         cfg = self.cfg
-        x = jnp.atleast_2d(jnp.asarray(wav, jnp.float32))
-        re, im = self._stft(x)
-        mag = jnp.sqrt(re**2 + im**2 + 1e-12)
-        band = jnp.log(mag[..., cfg.band_lo : cfg.band_hi] + 1e-9)
-        # remove per-frame mean (the watermark is the band-shaped residual)
-        resid = band - jnp.mean(band, axis=-1, keepdims=True)
-        pn = jnp.asarray(_pn_sequence(cfg.seed, cfg.payload_bits, cfg.band_hi - cfg.band_lo))
-        corr = jnp.einsum("btf,kf->k", resid, pn)
-        return (np.asarray(corr) > 0).astype(np.int32)
+        x = np.atleast_2d(np.asarray(wav, np.float32))
+        pn = _pn_sequence(cfg.seed, cfg.payload_bits, cfg.band_hi - cfg.band_lo)
+
+        def build():
+            @jax.jit
+            def extract(xx):
+                win = dsp.hann_window(cfg.n_fft)
+                re, im = dsp.stft(xx, cfg.n_fft, cfg.hop, win)
+                mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+                band = jnp.log(mag[..., cfg.band_lo : cfg.band_hi] + 1e-9)
+                resid = band - jnp.mean(band, axis=-1, keepdims=True)
+                return jnp.einsum("btf,kf->k", resid, jnp.asarray(pn))
+
+            return extract
+
+        fn = self._jit_extract.setdefault(x.shape, build())
+        corr = np.asarray(fn(jnp.asarray(x)))
+        return (corr > 0).astype(np.int32)
 
 
 class NeuralWatermarker:

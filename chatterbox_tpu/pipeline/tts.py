@@ -91,7 +91,10 @@ class ChatterboxTTS:
     def __post_init__(self):
         self.watermarker = PerthImplicitWatermarker()
         # fixed CFM noise buffer, mirroring flow_matching.py:191 rand_noise
-        self._cfm_noise = jax.random.normal(jax.random.PRNGKey(0), (1, 15000, 80))
+        # (host-generated: zero device ops at construction)
+        self._cfm_noise = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 15000, 80)).astype(np.float32)
+        )
         self._jit_t3 = {}
         self._jit_s3gen = {}
         self._jit_embed_ref = {}
@@ -357,7 +360,7 @@ class ChatterboxTTS:
         )
 
         t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling)
-        t3c = self._tile_conds(conds.t3, b)
+        t3c = conds.t3
         tok_in, lens_in = jnp.asarray(text_tokens), jnp.asarray(lens)
         spk, ptk, emo = t3c.speaker_emb, t3c.prompt_tokens, t3c.emotion_adv
         if self.mesh is not None:
@@ -394,12 +397,10 @@ class ChatterboxTTS:
         wav, wav_lens = self._run_s3gen(
             jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
         )
-        wav = np.asarray(wav)
-        out = []
-        for i in range(b):
-            w = wav[i, : int(wav_lens[i])]
-            out.append(self.watermarker.apply_watermark(w, sample_rate=self.sr))
-        return out
+        # one batched, jitted watermark pass over the padded batch, then slice
+        marked = self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
+        lens = np.asarray(wav_lens)
+        return [marked[i, : int(lens[i])] for i in range(b)]
 
     # ------------------------------------------------------------- internals
     def _encode_text(self, text: str) -> np.ndarray:
@@ -411,9 +412,10 @@ class ChatterboxTTS:
         sot, eot = self.t3_cfg.start_text_token, self.t3_cfg.stop_text_token
         return np.array([sot] + list(ids) + [eot], np.int32)
 
-    def _tile_conds(self, t3c: T3CondData, b: int) -> T3CondData:
+    @staticmethod
+    def _tile_conds_in_jit(t3c: T3CondData, b) -> T3CondData:
         def tile(x):
-            return jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 and b > 1 else x
+            return jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 else x
 
         return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
 
@@ -425,8 +427,11 @@ class ChatterboxTTS:
 
             @jax.jit
             def run(p, text, lens, spk, prompt, emo, rng):
+                bb = text.shape[0]
+                t3c = self._tile_conds_in_jit(T3CondData(spk, prompt, emo), bb)
                 return t3_generate(
-                    p, cfg, text, lens, spk, prompt, emo, rng, sampling, max_new
+                    p, cfg, text, lens, t3c.speaker_emb, t3c.prompt_tokens,
+                    t3c.emotion_adv, rng, sampling, max_new
                 )
 
             fn = run
@@ -443,12 +448,19 @@ class ChatterboxTTS:
 
             @jax.jit
             def run(p, tokens, lens, ref, noise, rng):
+                # broadcast shared conditioning/noise inside the jit region
+                bb = tokens.shape[0]
+                noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
+                ref = RefDict(
+                    *[
+                        jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
+                        for x in ref
+                    ]
+                )
                 return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
 
             fn = run
             self._jit_s3gen[key] = fn
         total = 2 * (p_len + tbucket)
         noise = self._cfm_noise[:, :total]
-        noise = jnp.broadcast_to(noise, (b,) + noise.shape[1:])
-        ref_b = RefDict(*[jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 else x for x in ref])
-        return fn(self.s3gen_params, speech, speech_lens, ref_b, noise, jax.random.PRNGKey(seed + 1))
+        return fn(self.s3gen_params, speech, speech_lens, ref, noise, jax.random.PRNGKey(seed + 1))

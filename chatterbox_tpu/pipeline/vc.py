@@ -34,7 +34,9 @@ class ChatterboxVC:
 
     def __post_init__(self):
         self.watermarker = PerthImplicitWatermarker()
-        self._cfm_noise = jax.random.normal(jax.random.PRNGKey(0), (1, 15000, 80))
+        self._cfm_noise = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 15000, 80)).astype(np.float32)
+        )
         self._jit = {}
 
     @classmethod
@@ -97,6 +99,14 @@ class ChatterboxVC:
 
             @jax.jit
             def run(p, wav16, lens, ref, noise, rng):
+                bb = wav16.shape[0]
+                noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
+                ref = RefDict(
+                    *[
+                        jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
+                        for x in ref
+                    ]
+                )
                 tokens, _ = s3_tokenize(p["tokenizer"], cfg.tokenizer, wav16)
                 return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
 
@@ -105,10 +115,8 @@ class ChatterboxVC:
 
         p_len = self.ref_dict.prompt_token.shape[1]
         total = 2 * (p_len + wav_bucket // 640)
-        noise = jnp.broadcast_to(self._cfm_noise[:, :total], (b, total, 80))
-        ref_b = RefDict(
-            *[jnp.broadcast_to(x, (b,) + x.shape[1:]) if x.shape[0] == 1 else x for x in self.ref_dict]
-        )
+        noise = self._cfm_noise[:, :total]
+        ref_b = self.ref_dict
         wav, wav_lens = fn(
             self.s3gen_params,
             jnp.asarray(batch),
@@ -117,8 +125,6 @@ class ChatterboxVC:
             noise,
             jax.random.PRNGKey(seed + 1),
         )
-        wav = np.asarray(wav)
-        return [
-            self.watermarker.apply_watermark(wav[i, : int(wav_lens[i])], sample_rate=self.sr)
-            for i in range(b)
-        ]
+        marked = self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
+        lens = np.asarray(wav_lens)
+        return [marked[i, : int(lens[i])] for i in range(b)]
