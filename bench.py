@@ -27,6 +27,13 @@ def main():
 
     import jax
 
+    # persistent compilation cache: first-run compiles amortize across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 

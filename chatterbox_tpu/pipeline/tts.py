@@ -367,9 +367,10 @@ class ChatterboxTTS:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             dsh = NamedSharding(self.mesh, P("data"))
-            tok_in, lens_in, spk, ptk, emo = (
-                jax.device_put(x, dsh) for x in (tok_in, lens_in, spk, ptk, emo)
-            )
+            rsh = NamedSharding(self.mesh, P())
+            tok_in, lens_in = jax.device_put(tok_in, dsh), jax.device_put(lens_in, dsh)
+            # shared conditioning is replicated; tiled to the batch inside jit
+            spk, ptk, emo = (jax.device_put(x, rsh) for x in (spk, ptk, emo))
         res = t3(
             self.t3_params,
             tok_in,

@@ -54,13 +54,23 @@ class TTSService:
     def health(self) -> ServerStatus:
         import jax
 
+        dev = jax.devices()[0]
+        mem = {}
+        try:
+            stats = dev.memory_stats() or {}
+            mem = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+        except Exception:
+            pass
         return ServerStatus(
             status="ok",
             model_loaded=self.tts is not None,
-            device=jax.devices()[0].platform,
+            device=dev.platform,
             emotions_ready=self.voices.get_stats()["ready"],
             uptime_seconds=time.time() - self.start_time,
-            memory={},
+            memory=mem,
         )
 
     def generate(self, req: TTSRequest) -> TTSResponse:
