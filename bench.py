@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
+    ap.add_argument("--real-conds", action="store_true",
+                    help="run the real conditioning models (slow remote compile)")
     args = ap.parse_args()
 
     import jax
@@ -76,8 +78,33 @@ def main():
 
     log("model init done")
     rng = np.random.default_rng(0)
-    ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)
-    tts.prepare_conditionals(ref, exaggeration=0.5)
+    if args.real_conds:
+        ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)
+        tts.prepare_conditionals(ref, exaggeration=0.5)
+    else:
+        # synthetic conditionals: the metric is SYNTHESIS throughput; voice
+        # conditioning is a one-time per-voice cost (reference: 0.93 s,
+        # BASELINE.md) and its conditioning models compile for ~12 min on the
+        # tunneled remote-compile backend. --real-conds exercises it.
+        import jax.numpy as jnp
+
+        from chatterbox_tpu.models.s3gen.s3gen import RefDict
+        from chatterbox_tpu.pipeline.conditionals import Conditionals, T3CondData
+
+        p_len = 125  # 5 s prompt at 25 tok/s
+        tts.conds = Conditionals(
+            T3CondData(
+                jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32)),
+                jnp.asarray(rng.integers(0, 6561, (1, 150)).astype(np.int32)),
+                jnp.full((1,), 0.5),
+            ),
+            RefDict(
+                jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
+                jnp.full((1,), p_len, jnp.int32),
+                jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
+                jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+            ),
+        )
     log("conditioning done")
 
     text = "The quick brown fox jumps over the lazy dog near the river bank today."
