@@ -300,3 +300,54 @@ def llama_decode_step(
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
     attn = attns[collect_attn_layer] if collect_attn_layer is not None else None
     return hidden, new_cache, attn
+
+
+def llama_decode_step_unrolled(
+    params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,
+    cache: jnp.ndarray,
+    cache_pos: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_len_mask: jnp.ndarray,
+    collect_attn_layer: Optional[int] = None,
+):
+    """Unrolled-layer decode step: identical numerics to llama_decode_step.
+
+    Static layer indices let XLA slice the cache/weights in place instead of
+    the scanned version's dynamic gather, which materializes a full per-layer
+    cache copy each step -- at large batch the gather traffic dominates
+    (measured: B=32 throughput flat vs B=8 with the scanned step). Trades
+    ~30x trace size (slower compile, cached per bucket) for ~2x less HBM
+    traffic per token.
+    """
+    h_heads, d = cfg.num_attention_heads, cfg.head_dim
+    cos, sin = rope_cos_sin(cfg, positions)
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.where(attn_len_mask[:, None, None, :], 0.0, neg).astype(jnp.float32)
+
+    attn_out = None
+    for i in range(cfg.num_hidden_layers):
+        lp = jax.tree.map(lambda w: w[i], params["layers"])
+        res = x
+        y = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h_heads, d)
+        k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
+        v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+        q, k = apply_rope(q, k, cos, sin)
+        new_kv = jnp.stack([k, v]).astype(cache.dtype)  # (2, B, H, 1, D)
+        cache = lax.dynamic_update_slice(
+            cache, new_kv[None], (i, 0, 0, 0, cache_pos, 0)
+        )
+        a, probs = _attn(q, cache[i, 0].astype(q.dtype), cache[i, 1].astype(q.dtype), bias)
+        a = a.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], h_heads * d)
+        x = res + jnp.matmul(a, lp["o"]["w"])
+        res = x
+        y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+        y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+        x = res + jnp.matmul(y, lp["down"]["w"])
+        if collect_attn_layer == i:
+            attn_out = jnp.mean(probs[:, :, 0, :], axis=1)
+
+    hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
+    return hidden, cache, attn_out

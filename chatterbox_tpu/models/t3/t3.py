@@ -41,6 +41,7 @@ from .llama import (
     convert_llama,
     init_llama,
     llama_decode_step,
+    llama_decode_step_unrolled,
     llama_prefill,
 )
 
@@ -208,6 +209,7 @@ def t3_generate(
     max_new_tokens: int = 1000,
     alignment: bool = False,
     use_pallas: bool = False,
+    decode_impl: str = "unroll",  # "unroll": 2.5x faster/step (static cache slices); "scan": smaller trace
 ) -> GenResult:
     """Batched CFG speech-token generation. All shapes static; per-row EOS
     via done-masks; early exit when every row finished.
@@ -318,17 +320,29 @@ def t3_generate(
         write_pos = s0 + cy.i
         rope_pos = (base_pos + cy.i)[:, None]  # sequential rope continuation
         valid = cy.valid.at[:, write_pos].set(True)
-        h, cache, attn = llama_decode_step(
-            p["llama"],
-            cfg.llama,
-            emb,
-            cy.cache,
-            write_pos,
-            rope_pos,
-            valid,
-            collect_attn_layer=cfg.alignment_layer if alignment else None,
-            use_pallas=use_pallas,
-        )
+        if decode_impl == "unroll":
+            h, cache, attn = llama_decode_step_unrolled(
+                p["llama"],
+                cfg.llama,
+                emb,
+                cy.cache,
+                write_pos,
+                rope_pos,
+                valid,
+                collect_attn_layer=cfg.alignment_layer if alignment else None,
+            )
+        else:
+            h, cache, attn = llama_decode_step(
+                p["llama"],
+                cfg.llama,
+                emb,
+                cy.cache,
+                write_pos,
+                rope_pos,
+                valid,
+                collect_attn_layer=cfg.alignment_layer if alignment else None,
+                use_pallas=use_pallas,
+            )
         logits = linear(p["speech_head"], h[:, 0])
         attn_text = (
             attn[:, text_slice[0] : text_slice[1]].astype(jnp.float32)
