@@ -66,6 +66,38 @@ class SpreadSpectrumWatermarker:
         self._jit_apply = {}
         self._jit_extract = {}
 
+    def band_pattern(self, watermark=None) -> np.ndarray:
+        """The (band,) log-magnitude modulation pattern for a payload --
+        lets pipelines fuse the watermark into their synthesis graph
+        (apply_in_graph)."""
+        cfg = self.cfg
+        pn = _pn_sequence(cfg.seed, cfg.payload_bits, cfg.band_hi - cfg.band_lo)
+        if watermark is None:
+            payload = np.ones(cfg.payload_bits, np.float32)
+        else:
+            payload = np.asarray(watermark, np.float32) * 2 - 1
+        return (payload @ pn) / np.sqrt(cfg.payload_bits)
+
+    def apply_in_graph(self, wav, pattern):
+        """Jit-traceable watermark application on (B, T) device arrays.
+
+        Same numerics as apply_watermark (pads to a hop multiple in-graph)."""
+        cfg = self.cfg
+        t_len = wav.shape[-1]
+        pad = (-t_len) % cfg.hop
+        x = jnp.pad(wav.astype(jnp.float32), ((0, 0), (0, pad)))
+        win = dsp.hann_window(cfg.n_fft)
+        re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
+        mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+        scale = 1.0 + cfg.strength * pattern[None, None, :]
+        mag_band = mag[..., cfg.band_lo : cfg.band_hi] * scale
+        ratio = mag_band / mag[..., cfg.band_lo : cfg.band_hi]
+        re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
+        im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
+        y = dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
+        y = jnp.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
+        return y
+
     def _apply_fn(self):
         cfg = self.cfg
 

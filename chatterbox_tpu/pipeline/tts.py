@@ -398,8 +398,8 @@ class ChatterboxTTS:
         wav, wav_lens = self._run_s3gen(
             jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
         )
-        # one batched, jitted watermark pass over the padded batch, then slice
-        marked = self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
+        # watermark is fused into the s3gen graph; just slice per row
+        marked = np.asarray(wav)
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
 
@@ -447,8 +447,10 @@ class ChatterboxTTS:
         if fn is None:
             cfg = self.s3gen_cfg
 
+            wm = self.watermarker
+
             @jax.jit
-            def run(p, tokens, lens, ref, noise, rng):
+            def run(p, tokens, lens, ref, noise, rng, wm_pattern):
                 # broadcast shared conditioning/noise inside the jit region
                 bb = tokens.shape[0]
                 noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
@@ -458,10 +460,17 @@ class ChatterboxTTS:
                         for x in ref
                     ]
                 )
-                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
+                wav, wav_lens, _ = s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)
+                # fused watermark: no extra host<->device round trip (tts.py:271)
+                wav = wm.apply_in_graph(wav, wm_pattern)
+                return wav, wav_lens
 
             fn = run
             self._jit_s3gen[key] = fn
         total = 2 * (p_len + tbucket)
         noise = self._cfm_noise[:, :total]
-        return fn(self.s3gen_params, speech, speech_lens, ref, noise, jax.random.PRNGKey(seed + 1))
+        pattern = jnp.asarray(self.watermarker.band_pattern())
+        return fn(
+            self.s3gen_params, speech, speech_lens, ref, noise,
+            jax.random.PRNGKey(seed + 1), pattern,
+        )

@@ -25,13 +25,19 @@ def cast_floating(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+def cast_floating_jit(tree, dtype):
+    """One fused executable for the whole-pytree cast (eager per-leaf casts
+    are pathologically slow on remote backends)."""
+    return jax.jit(lambda t: cast_floating(t, dtype))(tree)
+
+
 def apply_tts_precision(tts, dtype=jnp.bfloat16):
     """Cast a ChatterboxTTS instance's hot-path params in place."""
-    tts.t3_params = cast_floating(tts.t3_params, dtype)
+    tts.t3_params = cast_floating_jit(tts.t3_params, dtype)
     sp = dict(tts.s3gen_params)
-    sp["flow"] = cast_floating(sp["flow"], dtype)
+    sp["flow"] = cast_floating_jit(sp["flow"], dtype)
     if sp.get("tokenizer") is not None:
-        sp["tokenizer"] = cast_floating(sp["tokenizer"], dtype)
+        sp["tokenizer"] = cast_floating_jit(sp["tokenizer"], dtype)
     # hift + campplus stay fp32
     tts.s3gen_params = sp
     return tts

@@ -155,3 +155,18 @@ def test_text_tokenizer_pure_python_matches_hf(tmp_path):
     for text in ["abc ab a", "b c abcabc", "a"]:
         assert hf.encode(text) == py.encode(text), text
         assert py.decode(py.encode(text)) == text
+
+
+def test_watermark_in_graph_matches_standalone():
+    from chatterbox_tpu.models.watermark import SpreadSpectrumWatermarker
+
+    wm = SpreadSpectrumWatermarker()
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal((2, 24000)) * 0.2).astype(np.float32)
+    payload = rng.integers(0, 2, 16)
+    ref = wm.apply_watermark(wav, watermark=payload)
+    pattern = jnp.asarray(wm.band_pattern(payload))
+    got = np.asarray(jax.jit(wm.apply_in_graph)(jnp.asarray(wav), pattern))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # and the fused output still decodes
+    assert (wm.get_watermark(got[0]) == payload).mean() >= 0.9
