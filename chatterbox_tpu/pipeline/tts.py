@@ -398,10 +398,20 @@ class ChatterboxTTS:
         wav, wav_lens = self._run_s3gen(
             jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
         )
-        # watermark is fused into the s3gen graph; just slice per row
         marked = np.asarray(wav)
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
+
+    def _apply_watermark_device(self, wav):
+        """Watermark a (B, T) device array via a cached jit -- keeps the data
+        on device (fusing into the synthesis graph blows up remote compile)."""
+        key = ("wm", wav.shape)
+        fn = self._jit_s3gen.get(key)
+        if fn is None:
+            wm = self.watermarker
+            fn = jax.jit(wm.apply_in_graph)
+            self._jit_s3gen[key] = fn
+        return fn(wav, jnp.asarray(self.watermarker.band_pattern()))
 
     # ------------------------------------------------------------- internals
     def _encode_text(self, text: str) -> np.ndarray:
@@ -447,10 +457,8 @@ class ChatterboxTTS:
         if fn is None:
             cfg = self.s3gen_cfg
 
-            wm = self.watermarker
-
             @jax.jit
-            def run(p, tokens, lens, ref, noise, rng, wm_pattern):
+            def run(p, tokens, lens, ref, noise, rng):
                 # broadcast shared conditioning/noise inside the jit region
                 bb = tokens.shape[0]
                 noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
@@ -460,17 +468,15 @@ class ChatterboxTTS:
                         for x in ref
                     ]
                 )
-                wav, wav_lens, _ = s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)
-                # fused watermark: no extra host<->device round trip (tts.py:271)
-                wav = wm.apply_in_graph(wav, wm_pattern)
-                return wav, wav_lens
+                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
 
             fn = run
             self._jit_s3gen[key] = fn
         total = 2 * (p_len + tbucket)
         noise = self._cfm_noise[:, :total]
-        pattern = jnp.asarray(self.watermarker.band_pattern())
-        return fn(
-            self.s3gen_params, speech, speech_lens, ref, noise,
-            jax.random.PRNGKey(seed + 1), pattern,
+        wav, wav_lens = fn(
+            self.s3gen_params, speech, speech_lens, ref, noise, jax.random.PRNGKey(seed + 1)
         )
+        # separate small jit (cached by shape), input stays on device
+        wav = self._apply_watermark_device(wav)
+        return wav, wav_lens

@@ -97,10 +97,8 @@ class ChatterboxVC:
         if fn is None:
             cfg = self.s3gen_cfg
 
-            wm = self.watermarker
-
             @jax.jit
-            def run(p, wav16, lens, ref, noise, rng, wm_pattern):
+            def run(p, wav16, lens, ref, noise, rng):
                 bb = wav16.shape[0]
                 noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
                 ref = RefDict(
@@ -110,9 +108,7 @@ class ChatterboxVC:
                     ]
                 )
                 tokens, _ = s3_tokenize(p["tokenizer"], cfg.tokenizer, wav16)
-                wav, wav_lens, _ = s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)
-                wav = wm.apply_in_graph(wav, wm_pattern)
-                return wav, wav_lens
+                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
 
             fn = run
             self._jit[key] = fn
@@ -128,8 +124,9 @@ class ChatterboxVC:
             ref_b,
             noise,
             jax.random.PRNGKey(seed + 1),
-            jnp.asarray(self.watermarker.band_pattern()),
         )
+        wmk = self._jit.setdefault(("wm", wav.shape), jax.jit(self.watermarker.apply_in_graph))
+        wav = wmk(wav, jnp.asarray(self.watermarker.band_pattern()))
         marked = np.asarray(wav)
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
