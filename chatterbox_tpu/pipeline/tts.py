@@ -11,8 +11,7 @@ for TPU serving:
 """
 
 import logging
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import List, Optional
 
@@ -32,7 +31,6 @@ from ..models.voice_encoder import (
     VoiceEncoderConfig,
     convert_voice_encoder,
     init_voice_encoder,
-    ve_embed_utterance,
 )
 from ..models.watermark import PerthImplicitWatermarker
 from .audio import load_wav, trim_silence
