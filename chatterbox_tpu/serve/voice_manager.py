@@ -98,8 +98,23 @@ class VoiceManager:
             else:
                 if not prof.voice_samples:
                     return None
-                sample = self.voice_dir / prof.voice_samples[0]
-                conds = self.tts.prepare_conditionals(str(sample), prof.exaggeration)
+                # primary sample = the longest one (voice_manager.py:131-155)
+                from ..pipeline.audio import load_wav
+
+                primary, max_dur = None, -1.0
+                for name in prof.voice_samples:
+                    p = self.voice_dir / name
+                    if not p.exists():
+                        continue
+                    try:
+                        wav = load_wav(p)
+                        if len(wav) > max_dur:
+                            max_dur, primary = len(wav), p
+                    except Exception:
+                        logger.warning("unreadable voice sample %s", p, exc_info=True)
+                if primary is None:
+                    return None
+                conds = self.tts.prepare_conditionals(str(primary), prof.exaggeration)
                 conds.save(cache_file)
             self._conds[emotion_id] = conds
             return conds
