@@ -250,36 +250,34 @@ class ChatterboxTTS:
         valid_mel_frames = 1 + len(ve_wav) // 160  # center=True mel frames
         n_valid = num_wins(max(valid_mel_frames, 1), step, self.ve_cfg)
 
-        key = (len(dec_ref), len(enc_ref), ve_len)
-        fn = self._jit_embed_ref.get(key)
-        if fn is None:
-            s3gen_cfg, ve_cfg, t3_cfg, ve_params = (
-                self.s3gen_cfg,
-                self.ve_cfg,
-                self.t3_cfg,
-                self.ve_params,
+        # three separate cached jits: one mega-graph compiles super-linearly
+        # slowly on remote-compile backends (~12 min vs ~3 min split)
+        s3gen_cfg, ve_cfg, t3_cfg = self.s3gen_cfg, self.ve_cfg, self.t3_cfg
+        kd = ("dec", len(dec_ref))
+        if kd not in self._jit_embed_ref:
+            self._jit_embed_ref[kd] = jax.jit(
+                lambda sp, w: embed_ref(sp, s3gen_cfg, w, S3GEN_SR)
+            )
+        ke = ("enc", len(enc_ref))
+        if ke not in self._jit_embed_ref:
+            self._jit_embed_ref[ke] = jax.jit(
+                lambda sp, w: s3_tokenize(
+                    sp["tokenizer"], s3gen_cfg.tokenizer, w,
+                    max_len=t3_cfg.speech_cond_prompt_len,
+                )[0]
+            )
+        kv = ("ve", ve_len)
+        if kv not in self._jit_embed_ref:
+            self._jit_embed_ref[kv] = jax.jit(
+                lambda vp, w, nv: ve_embed_from_mels(
+                    vp, ve_cfg, ve_mel_spectrogram(w).transpose(0, 2, 1), n_valid_windows=nv
+                )
             )
 
-            @jax.jit
-            def fn(sp, vp, dec_w, enc_w, ve_w, nv):
-                ref_dict = embed_ref(sp, s3gen_cfg, dec_w, S3GEN_SR)
-                prompt_tokens, _ = s3_tokenize(
-                    sp["tokenizer"], s3gen_cfg.tokenizer, enc_w,
-                    max_len=t3_cfg.speech_cond_prompt_len,
-                )
-                mels = ve_mel_spectrogram(ve_w).transpose(0, 2, 1)
-                ve_embed = ve_embed_from_mels(vp, ve_cfg, mels, n_valid_windows=nv)
-                return ref_dict, prompt_tokens, ve_embed
-
-            self._jit_embed_ref[key] = fn
-
-        ref_dict, prompt_tokens, ve_embed = fn(
-            self.s3gen_params,
-            self.ve_params,
-            jnp.asarray(dec_ref)[None],
-            jnp.asarray(enc_ref)[None],
-            jnp.asarray(ve_padded)[None],
-            jnp.asarray([n_valid], jnp.int32),
+        ref_dict = self._jit_embed_ref[kd](self.s3gen_params, jnp.asarray(dec_ref)[None])
+        prompt_tokens = self._jit_embed_ref[ke](self.s3gen_params, jnp.asarray(enc_ref)[None])
+        ve_embed = self._jit_embed_ref[kv](
+            self.ve_params, jnp.asarray(ve_padded)[None], jnp.asarray([n_valid], jnp.int32)
         )
 
         conds = Conditionals(
