@@ -38,6 +38,16 @@ class ChatterboxVC:
             np.random.default_rng(0).standard_normal((1, 15000, 80)).astype(np.float32)
         )
         self._jit = {}
+        self.mesh = None
+
+    def with_mesh(self, mesh) -> "ChatterboxVC":
+        """Data-parallel VC over a ("data","model") mesh (BASELINE config 5:
+        batched E2E VC across hosts): params replicated, source batch sharded."""
+        from ..parallel.sharding import replicated, shard_params
+
+        self.mesh = mesh
+        self.s3gen_params = shard_params(self.s3gen_params, mesh)
+        return self
 
     @classmethod
     def from_local(cls, ckpt_dir) -> "ChatterboxVC":
@@ -117,10 +127,17 @@ class ChatterboxVC:
         total = 2 * (p_len + wav_bucket // 640)
         noise = self._cfm_noise[:, :total]
         ref_b = self.ref_dict
+        batch_in = jnp.asarray(batch)
+        lens_in = jnp.asarray(np.array(n_toks, np.int32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dsh = NamedSharding(self.mesh, P("data"))
+            batch_in, lens_in = jax.device_put(batch_in, dsh), jax.device_put(lens_in, dsh)
         wav, wav_lens = fn(
             self.s3gen_params,
-            jnp.asarray(batch),
-            jnp.asarray(np.array(n_toks, np.int32)),
+            batch_in,
+            lens_in,
             ref_b,
             noise,
             jax.random.PRNGKey(seed + 1),

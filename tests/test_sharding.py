@@ -70,3 +70,24 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_data_parallel_vc_matches_single(devices8):
+    """BASELINE config 5 shape: batched VC data-parallel over the mesh."""
+    from chatterbox_tpu.pipeline.vc import ChatterboxVC
+
+    rng = np.random.default_rng(3)
+    target = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    sources = [(rng.standard_normal(16000) * 0.1).astype(np.float32) for _ in range(8)]
+
+    vc1 = ChatterboxVC.from_random(seed=0, s3gen_cfg=TINY_S3GEN)
+    vc1.set_target_voice(target)
+    out1 = vc1.generate_batch(sources, seed=4)
+
+    vc2 = ChatterboxVC.from_random(seed=0, s3gen_cfg=TINY_S3GEN)
+    vc2.with_mesh(make_mesh((8, 1), devices8))
+    vc2.set_target_voice(target)
+    out2 = vc2.generate_batch(sources, seed=4)
+
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(a, b, atol=2e-3)
