@@ -114,7 +114,8 @@ def main():
         # min_new_tokens pins the decode length: throughput is measured on a
         # deterministic amount of work regardless of weight values
         return tts.generate_batch(
-            texts, max_new_tokens=args.tokens, seed=seed, min_new_tokens=args.tokens - 1
+            texts, max_new_tokens=args.tokens, seed=seed,
+            min_new_tokens=args.tokens - 1, device_chain=True,
         )
 
     t0 = time.time()

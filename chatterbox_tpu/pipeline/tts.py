@@ -69,6 +69,19 @@ TEXT_BUCKETS = (32, 64, 128, 256, 512)
 TOKEN_BUCKETS = (64, 125, 250, 500, 750, 1000)
 
 
+def _compact_tokens(tokens, lengths):
+    """Device-side drop_invalid_tokens (tts.py:256-262): stable-partition
+    valid (< SPEECH_VOCAB_SIZE) tokens to the front of each row."""
+    t = tokens.shape[1]
+    valid = (jnp.arange(t)[None] < lengths[:, None]) & (tokens < SPEECH_VOCAB_SIZE)
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    compacted = jnp.take_along_axis(tokens, order, axis=1)
+    new_lens = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return jnp.where(
+        jnp.arange(t)[None] < new_lens[:, None], compacted, 0
+    ), new_lens
+
+
 @dataclass
 class ChatterboxTTS:
     """Functional TTS pipeline holding parameter pytrees + jit caches."""
@@ -331,8 +344,14 @@ class ChatterboxTTS:
         seed: int = 0,
         max_new_tokens: int = 1000,
         min_new_tokens: int = 0,
+        device_chain: bool = False,
     ) -> List[np.ndarray]:
-        """Batched generation: one T3 decode + one S3Gen over the batch."""
+        """Batched generation: one T3 decode + one S3Gen over the batch.
+
+        ``device_chain=True`` keeps the whole chain on device (invalid-token
+        compaction included) with no host sync between T3 and S3Gen -- best
+        throughput when generations run near max_new_tokens (the flow then
+        always runs at the max_new bucket)."""
         conds = conds or self.conds
         assert conds is not None, "prepare_conditionals first or pass conds"
         if float(conds.t3.emotion_adv[0]) != exaggeration:
@@ -376,24 +395,36 @@ class ChatterboxTTS:
             emo,
             jax.random.PRNGKey(seed),
         )
-        tokens = np.asarray(res.tokens)
-        tok_lens = np.asarray(res.lengths)
+        if device_chain:
+            # all-device chain: drop-invalid compaction runs on device and
+            # S3Gen is dispatched without waiting for the T3 readback
+            # (flow runs at the full max_new bucket)
+            key = ("compact", res.tokens.shape)
+            cfn = self._jit_s3gen.get(key)
+            if cfn is None:
+                cfn = jax.jit(_compact_tokens)
+                self._jit_s3gen[key] = cfn
+            speech_j, clean_lens_j = cfn(res.tokens, res.lengths)
+            wav, wav_lens = self._run_s3gen(speech_j, clean_lens_j, conds.gen, b, seed)
+        else:
+            tokens = np.asarray(res.tokens)
+            tok_lens = np.asarray(res.lengths)
 
-        # host: drop invalid tokens per row (tts.py:256-262)
-        clean_rows, clean_lens = [], []
-        for i in range(b):
-            row = tokens[i, : tok_lens[i]]
-            row = row[row < SPEECH_VOCAB_SIZE]
-            clean_rows.append(row)
-            clean_lens.append(len(row))
-        tbucket = _bucket(max(max(clean_lens), 2), TOKEN_BUCKETS)
-        speech = np.zeros((b, tbucket), np.int32)
-        for i, r in enumerate(clean_rows):
-            speech[i, : len(r)] = r
+            # host: drop invalid tokens per row (tts.py:256-262)
+            clean_rows, clean_lens = [], []
+            for i in range(b):
+                row = tokens[i, : tok_lens[i]]
+                row = row[row < SPEECH_VOCAB_SIZE]
+                clean_rows.append(row)
+                clean_lens.append(len(row))
+            tbucket = _bucket(max(max(clean_lens), 2), TOKEN_BUCKETS)
+            speech = np.zeros((b, tbucket), np.int32)
+            for i, r in enumerate(clean_rows):
+                speech[i, : len(r)] = r
 
-        wav, wav_lens = self._run_s3gen(
-            jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
-        )
+            wav, wav_lens = self._run_s3gen(
+                jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
+            )
         marked = np.asarray(wav)
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
