@@ -426,17 +426,25 @@ class ChatterboxTTS:
                 jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
             )
         marked = np.asarray(wav)
+        if marked.dtype == np.int16:
+            marked = marked.astype(np.float32) / 32767.0
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
 
     def _apply_watermark_device(self, wav):
         """Watermark a (B, T) device array via a cached jit -- keeps the data
-        on device (fusing into the synthesis graph blows up remote compile)."""
+        on device (fusing into the synthesis graph blows up remote compile).
+        Returns int16 PCM: halves the device->host readback."""
         key = ("wm", wav.shape)
         fn = self._jit_s3gen.get(key)
         if fn is None:
             wm = self.watermarker
-            fn = jax.jit(wm.apply_in_graph)
+
+            @jax.jit
+            def fn(w, pattern):
+                y = wm.apply_in_graph(w, pattern)
+                return jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
             self._jit_s3gen[key] = fn
         return fn(wav, jnp.asarray(self.watermarker.band_pattern()))
 
