@@ -110,26 +110,21 @@ def main():
     text = "The quick brown fox jumps over the lazy dog near the river bank today."
     texts = [text] * args.batch
 
-    def run(seed):
-        # min_new_tokens pins the decode length: throughput is measured on a
-        # deterministic amount of work regardless of weight values
-        return tts.generate_batch(
-            texts, max_new_tokens=args.tokens, seed=seed,
-            min_new_tokens=args.tokens - 1, device_chain=True,
-        )
+    gen_kw = dict(max_new_tokens=args.tokens, min_new_tokens=args.tokens - 1)
 
     t0 = time.time()
-    wavs = run(0)  # compile + run
+    wavs = tts.generate_batch(texts, seed=0, device_chain=True, **gen_kw)  # compile + run
     compile_s = time.time() - t0
     log(f"first call (compile+run) {compile_s:.1f}s")
 
-    times, audio_secs = [], []
-    for i in range(args.iters):
-        t0 = time.time()
-        wavs = run(i + 1)
-        dt = time.time() - t0
-        times.append(dt)
-        audio_secs.append(sum(len(w) for w in wavs) / 24000.0)
+    # steady state: pipelined batches (host collection overlaps device work)
+    t0 = time.time()
+    batch_results = tts.generate_batches_pipelined(
+        [texts] * args.iters, seed=1, **gen_kw
+    )
+    total_t = time.time() - t0
+    times = [total_t / args.iters] * args.iters
+    audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
 
     thr = float(np.sum(audio_secs) / np.sum(times))
     result = {

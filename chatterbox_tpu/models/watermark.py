@@ -12,9 +12,12 @@ module provides the same API with two engines:
     random-init by default, loadable from a converted Perth checkpoint when
     available (`convert_perth`).
   - ``SpreadSpectrumWatermarker`` (default): a deterministic, weightless
-    spread-spectrum watermark in the 4-8 kHz band that round-trips reliably
+    spread-spectrum watermark in the 2-9 kHz band that round-trips reliably
     and is inaudible at the default strength -- keeping the "always
     watermarked" capability contract intact without upstream weights.
+    Note: extraction needs audible content in the band (the multiplicative
+    modulation has nothing to act on in near-silence); ~1 s of ordinary
+    speech decodes the 16-bit payload at >=90% accuracy.
 """
 
 from dataclasses import dataclass

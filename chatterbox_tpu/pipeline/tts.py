@@ -345,6 +345,7 @@ class ChatterboxTTS:
         max_new_tokens: int = 1000,
         min_new_tokens: int = 0,
         device_chain: bool = False,
+        defer_collect: bool = False,
     ) -> List[np.ndarray]:
         """Batched generation: one T3 decode + one S3Gen over the batch.
 
@@ -406,6 +407,8 @@ class ChatterboxTTS:
                 self._jit_s3gen[key] = cfn
             speech_j, clean_lens_j = cfn(res.tokens, res.lengths)
             wav, wav_lens = self._run_s3gen(speech_j, clean_lens_j, conds.gen, b, seed)
+            if defer_collect:
+                return (wav, wav_lens)
         else:
             tokens = np.asarray(res.tokens)
             tok_lens = np.asarray(res.lengths)
@@ -425,11 +428,34 @@ class ChatterboxTTS:
             wav, wav_lens = self._run_s3gen(
                 jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
             )
+        return self.collect((wav, wav_lens))
+
+    def collect(self, handle) -> List[np.ndarray]:
+        """Materialize a deferred generate_batch result (device -> host)."""
+        wav, wav_lens = handle
         marked = np.asarray(wav)
         if marked.dtype == np.int16:
             marked = marked.astype(np.float32) / 32767.0
         lens = np.asarray(wav_lens)
-        return [marked[i, : int(lens[i])] for i in range(b)]
+        return [marked[i, : int(lens[i])] for i in range(marked.shape[0])]
+
+    def generate_batches_pipelined(self, batches: List[List[str]], **kw) -> List[List[np.ndarray]]:
+        """Generate several batches, overlapping each batch's host collection
+        with the next batch's device dispatch (jax async dispatch)."""
+        base_seed = kw.pop("seed", 0)
+        handles = []
+        out = []
+        for i, texts in enumerate(batches):
+            handles.append(
+                self.generate_batch(
+                    texts, seed=base_seed + i, device_chain=True, defer_collect=True, **kw
+                )
+            )
+            if len(handles) > 1:
+                out.append(self.collect(handles.pop(0)))
+        while handles:
+            out.append(self.collect(handles.pop(0)))
+        return out
 
     def _apply_watermark_device(self, wav):
         """Watermark a (B, T) device array via a cached jit -- keeps the data

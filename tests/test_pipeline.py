@@ -170,3 +170,17 @@ def test_watermark_in_graph_matches_standalone():
     np.testing.assert_allclose(got, ref, atol=1e-5)
     # and the fused output still decodes
     assert (wm.get_watermark(got[0]) == payload).mean() >= 0.9
+
+
+def test_pipelined_batches_match_sequential(tts):
+    rng = np.random.default_rng(9)
+    tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    texts = ["One sentence here.", "Two sentences now."]
+    seq = [
+        tts.generate_batch(texts, max_new_tokens=16, seed=5 + i, device_chain=True)
+        for i in range(2)
+    ]
+    piped = tts.generate_batches_pipelined([texts, texts], seed=5, max_new_tokens=16)
+    for a_batch, b_batch in zip(seq, piped):
+        for a, b in zip(a_batch, b_batch):
+            np.testing.assert_allclose(a, b, atol=1e-4)
