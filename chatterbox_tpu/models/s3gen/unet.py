@@ -61,10 +61,18 @@ def _causal_resnet(p, x, mask, t_emb):
 
 
 def _attn(p, x, n_heads, key_bias=None):
-    """diffusers Attention: qkv no bias, out bias; scale 1/sqrt(head_dim)."""
-    q = split_heads(linear(p["to_q"], x), n_heads)
-    k = split_heads(linear(p["to_k"], x), n_heads)
-    v = split_heads(linear(p["to_v"], x), n_heads)
+    """diffusers Attention: qkv no bias, out bias; scale 1/sqrt(head_dim).
+
+    QKV projections are fused into one matmul (better MXU tiling at these
+    small channel counts); converters emit the fused "to_qkv" weight."""
+    if "to_qkv" in p:
+        qkv = linear(p["to_qkv"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(t, n_heads) for t in (q, k, v))
+    else:
+        q = split_heads(linear(p["to_q"], x), n_heads)
+        k = split_heads(linear(p["to_k"], x), n_heads)
+        v = split_heads(linear(p["to_v"], x), n_heads)
     scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
     if key_bias is not None:
@@ -149,9 +157,7 @@ def _init_tf_block(key, cfg: UNetConfig):
         "norm1": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
         "norm3": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
         "attn": {
-            "to_q": lin(ks[0], c, inner, bias=False),
-            "to_k": lin(ks[1], c, inner, bias=False),
-            "to_v": lin(ks[2], c, inner, bias=False),
+            "to_qkv": lin(ks[0], c, 3 * inner, bias=False),
             "to_out": lin(ks[3], inner, c),
         },
         "ff_in": lin(ks[4], c, ff_inner),
@@ -227,9 +233,16 @@ def convert_unet(sd, cfg: UNetConfig = UNetConfig(), prefix=""):
             "norm1": tc.layer_norm(sd, f"{bp}.norm1"),
             "norm3": tc.layer_norm(sd, f"{bp}.norm3"),
             "attn": {
-                "to_q": tc.linear(sd, f"{bp}.attn1.to_q"),
-                "to_k": tc.linear(sd, f"{bp}.attn1.to_k"),
-                "to_v": tc.linear(sd, f"{bp}.attn1.to_v"),
+                "to_qkv": {
+                    "w": np.concatenate(
+                        [
+                            tc.linear(sd, f"{bp}.attn1.to_q")["w"],
+                            tc.linear(sd, f"{bp}.attn1.to_k")["w"],
+                            tc.linear(sd, f"{bp}.attn1.to_v")["w"],
+                        ],
+                        axis=1,
+                    )
+                },
                 "to_out": tc.linear(sd, f"{bp}.attn1.to_out.0"),
             },
             "ff_in": tc.linear(sd, f"{bp}.ff.net.0.proj"),

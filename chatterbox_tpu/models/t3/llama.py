@@ -106,8 +106,7 @@ def init_llama(key, cfg: LlamaConfig, dtype=jnp.float32):
             "v": {"w": w(ks[2], (l, c, kvd))},
             "o": {"w": w(ks[3], (l, hd, c))},
             "post_ln": {"scale": jnp.ones((l, c), dtype)},
-            "gate": {"w": w(ks[4], (l, c, f))},
-            "up": {"w": w(ks[5], (l, c, f))},
+            "gate_up": {"w": w(ks[4], (l, c, 2 * f))},
             "down": {"w": w(ks[6], (l, f, c))},
         },
         "final_ln": {"scale": jnp.ones((c,), dtype)},
@@ -136,8 +135,15 @@ def convert_llama(sd, cfg: LlamaConfig, prefix="tfmr."):
             "v": {"w": stack(prefix + "layers.{i}.self_attn.v_proj.weight")},
             "o": {"w": stack(prefix + "layers.{i}.self_attn.o_proj.weight")},
             "post_ln": {"scale": stack(prefix + "layers.{i}.post_attention_layernorm.weight", False)},
-            "gate": {"w": stack(prefix + "layers.{i}.mlp.gate_proj.weight")},
-            "up": {"w": stack(prefix + "layers.{i}.mlp.up_proj.weight")},
+            "gate_up": {
+                "w": jnp.concatenate(
+                    [
+                        stack(prefix + "layers.{i}.mlp.gate_proj.weight"),
+                        stack(prefix + "layers.{i}.mlp.up_proj.weight"),
+                    ],
+                    axis=-1,
+                )
+            },
             "down": {"w": stack(prefix + "layers.{i}.mlp.down_proj.weight")},
         },
         "final_ln": {"scale": jnp.asarray(_n(sd[prefix + "norm.weight"]))},
@@ -191,9 +197,18 @@ def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_po
 
     res = x
     y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-    y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+    y = _mlp(lp, y)
     x = res + jnp.matmul(y, lp["down"]["w"])
     return x, new_kv, probs
+
+
+def _mlp(lp, y):
+    """SiLU-gated MLP; gate/up fused into one matmul when available."""
+    if "gate_up" in lp:
+        gu = jnp.matmul(y, lp["gate_up"]["w"])
+        g, u = jnp.split(gu, 2, axis=-1)
+        return jax.nn.silu(g) * u
+    return jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
 
 
 def llama_prefill(
@@ -289,7 +304,7 @@ def llama_decode_step(
         xx = res + jnp.matmul(a, lp["o"]["w"])
         res = xx
         y = rms_norm(lp["post_ln"], xx, cfg.rms_norm_eps)
-        y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+        y = _mlp(lp, y)
         xx = res + jnp.matmul(y, lp["down"]["w"])
 
         attn_mean = jnp.mean(probs[:, :, 0, :], axis=1)  # (B, S) head-mean
@@ -344,7 +359,7 @@ def llama_decode_step_unrolled(
         x = res + jnp.matmul(a, lp["o"]["w"])
         res = x
         y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-        y = jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+        y = _mlp(lp, y)
         x = res + jnp.matmul(y, lp["down"]["w"])
         if collect_attn_layer == i:
             attn_out = jnp.mean(probs[:, :, 0, :], axis=1)

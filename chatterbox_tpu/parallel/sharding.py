@@ -39,7 +39,7 @@ def t3_param_specs(params) -> dict:
     def spec_for(path: str):
         # q/k/v: (L, C, H*D) shard output heads; o: (L, H*D, C) shard input
         if "llama.layers" in path:
-            if path.endswith((".q.w", ".k.w", ".v.w", ".gate.w", ".up.w")):
+            if path.endswith((".q.w", ".k.w", ".v.w", ".gate_up.w")):
                 return P(None, None, "model")
             if path.endswith((".o.w", ".down.w")):
                 return P(None, "model", None)
