@@ -314,10 +314,15 @@ class ChatterboxTTS:
         seed: int = 0,
         max_new_tokens: int = 1000,
         min_new_tokens: int = 0,
+        num_return_sequences: int = 1,
     ) -> np.ndarray:
-        """Single-utterance API-parity generate (tts.py:208-272) -> (1, T)."""
+        """Single-utterance API-parity generate (tts.py:208-272) -> (1, T).
+
+        ``num_return_sequences > 1`` samples k variants in one batch (the
+        reference exposes this kwarg on T3.inference, t3.py:215) and returns
+        the first; use generate_batch on duplicated texts for all of them."""
         wavs = self.generate_batch(
-            [text],
+            [text] * num_return_sequences,
             conds=None if audio_prompt_path is None else self.prepare_conditionals(audio_prompt_path, exaggeration),
             repetition_penalty=repetition_penalty,
             min_p=min_p,

@@ -60,8 +60,14 @@ def test_tts_end_to_end(tts):
 
 
 def test_tts_single_api(tts):
+    if tts.conds is None:  # self-sufficient when run in isolation
+        rng = np.random.default_rng(11)
+        tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
     w = tts.generate("Short.", max_new_tokens=8, seed=1)
     assert w.ndim == 2 and w.shape[0] == 1
+    # num_return_sequences parity kwarg (t3.py:215)
+    w2 = tts.generate("Short.", max_new_tokens=8, seed=1, num_return_sequences=2)
+    assert w2.ndim == 2
 
 
 def test_conditionals_roundtrip(tts, tmp_path):

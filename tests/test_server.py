@@ -97,3 +97,23 @@ def test_generate_unknown_emotion_400(server):
 def test_index_served(server):
     code, body = _req(server.port, "/")
     assert code == 200 and b"chatterbox-tpu" in body
+
+
+def test_emotion_test_endpoint(server, tmp_path):
+    """POST /emotions/{id}/test generates with the profile (server.py:473-522)."""
+    import numpy as np
+
+    from chatterbox_tpu.pipeline.audio import save_wav
+
+    rng = np.random.default_rng(7)
+    wav_path = tmp_path / "t.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    code, _ = _req(server.port, "/voices/upload?filename=t.wav", "POST", wav_path.read_bytes())
+    assert code == 200
+    code, _ = _req(
+        server.port, "/emotions", "POST",
+        {"id": "testprof", "exaggeration": 0.4, "voice_samples": ["t.wav"]},
+    )
+    assert code == 200
+    code, j = _req(server.port, "/emotions/testprof/test", "POST", {})
+    assert code == 200 and j["success"] and j["duration_seconds"] > 0
