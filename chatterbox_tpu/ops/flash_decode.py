@@ -23,14 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _decode_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     """One (batch, head) cell. Block shapes:
-    q (1,1,1,D), k/v (1,1,S,D), mask (1,S), o (1,1,1,D)."""
+    q (1,1,1,D), k/v (1,1,S,D), mask (B,S) [full; row-indexed], o (1,1,1,D)."""
     q = q_ref[0, 0].astype(jnp.float32)  # (1, D)
     k = k_ref[0, 0].astype(jnp.float32)  # (S, D)
     v = v_ref[0, 0].astype(jnp.float32)  # (S, D)
     scale = 1.0 / np.sqrt(q.shape[-1])
     scores = jnp.sum(k * q, axis=-1) * scale  # (S,) via VPU (D=64 lane dim)
     neg = jnp.finfo(jnp.float32).min
-    scores = jnp.where(mask_ref[0, :], scores, neg)
+    bi = pl.program_id(0)
+    scores = jnp.where(mask_ref[bi, :], scores, neg)
     m = jnp.max(scores)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e)  # (S,)
@@ -51,7 +52,7 @@ def flash_decode_attention(q, k, v, len_mask, interpret=False):
             pl.BlockSpec((1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 1, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
