@@ -10,6 +10,12 @@ cells).
 Integration: opt-in via ``llama_decode_step(..., use_pallas=True)``; the
 dense-XLA path stays the default and is the numerical reference
 (tests/test_ops.py compares both; interpret mode on CPU).
+
+Hardware A/B (v5e, 16 CFG rows, S=318, round 1): this kernel 12.5 ms/step vs
+XLA dense 10.3 ms in the scanned decode -- the per-(batch, head) grid is too
+fine for this problem size (256 tiny cells). The unrolled XLA decode step
+(llama_decode_step_unrolled, 4.1 ms/step) is the production default; a
+head-batched grid variant is the obvious next iteration.
 """
 
 import functools
