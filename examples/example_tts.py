@@ -22,7 +22,14 @@ def main():
     ap.add_argument("--exaggeration", type=float, default=0.5)
     ap.add_argument("--cfg-weight", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the reference ships example_for_mac.py for this)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from chatterbox_tpu.pipeline.audio import save_wav
     from chatterbox_tpu.pipeline.tts import ChatterboxTTS
