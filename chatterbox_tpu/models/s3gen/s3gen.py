@@ -53,6 +53,21 @@ def init_s3gen(key, cfg: S3GenConfig = S3GenConfig()):
     }
 
 
+def infer_s3gen_config(sd, cfg: S3GenConfig = None) -> S3GenConfig:
+    """Adapt the static config to the checkpoint where shapes can tell us
+    more: the tokenizer subtree's architecture is inferred from its tensor
+    shapes (models/s3tokenizer.s3tok_config_from_sd) so real-weights layout
+    drift surfaces at load, not as silently-wrong tokens."""
+    import dataclasses
+
+    from ..s3tokenizer import s3tok_config_from_sd
+
+    cfg = cfg or S3GenConfig()
+    if any(k.startswith("tokenizer.") for k in sd):
+        cfg = dataclasses.replace(cfg, tokenizer=s3tok_config_from_sd(sd, "tokenizer."))
+    return cfg
+
+
 def convert_s3gen(sd, cfg: S3GenConfig = S3GenConfig()):
     """Map the reference s3gen.safetensors state dict (strict=False in the
     reference, tts.py:152-154) into our pytree. The tokenizer lives in the

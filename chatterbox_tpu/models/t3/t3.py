@@ -208,8 +208,9 @@ def t3_generate(
     sampling: SamplingConfig = SamplingConfig(),
     max_new_tokens: int = 1000,
     alignment: bool = False,
-    use_pallas: bool = False,
-    decode_impl: str = "unroll",  # "unroll": 2.5x faster/step (static cache slices); "scan": smaller trace
+    decode_impl: str = "scan",  # "scan": read-only-cache layer scan (30x smaller trace); "unroll": static layer indices
+    scan_unroll: int = 1,  # layers per scan iteration in "scan" mode (must divide n_layers)
+    use_pallas: bool = True,  # flash-decode kernel reads the HBM cache zero-copy (scan mode, no alignment)
 ) -> GenResult:
     """Batched CFG speech-token generation. All shapes static; per-row EOS
     via done-masks; early exit when every row finished.
@@ -227,7 +228,9 @@ def t3_generate(
     pre = t3_build_prefill(p, cfg, cond, text_tokens, text_lens, sampling.cfg_weight)
 
     s0 = pre.embeds.shape[1]
-    cache_len = s0 + max_new_tokens
+    # pad the cache to the flash-decode kernel's S-block multiple (cheap:
+    # <= 63 masked slots of extra attention traffic)
+    cache_len = -(-(s0 + max_new_tokens) // 64) * 64
     hidden, cache = llama_prefill(
         p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len
     )
@@ -341,6 +344,7 @@ def t3_generate(
                 rope_pos,
                 valid,
                 collect_attn_layer=cfg.alignment_layer if alignment else None,
+                unroll=scan_unroll,
                 use_pallas=use_pallas,
             )
         logits = linear(p["speech_head"], h[:, 0])

@@ -138,11 +138,17 @@ class ChatterboxTTS:
         ve_sd = load_safetensors(ckpt_dir / "ve.safetensors")
         t3_sd = load_safetensors(ckpt_dir / "t3_cfg.safetensors")
         s3_sd = load_safetensors(ckpt_dir / "s3gen.safetensors")
+        from ..models.s3gen.s3gen import infer_s3gen_config
+
+        s3gen_cfg = infer_s3gen_config(s3_sd, s3gen_cfg)
         obj = cls(
             t3_params=jax.tree.map(jnp.asarray, convert_t3(t3_sd, t3_cfg)),
             s3gen_params=jax.tree.map(jnp.asarray, convert_s3gen(s3_sd, s3gen_cfg)),
             ve_params=jax.tree.map(jnp.asarray, convert_voice_encoder(ve_sd, ve_cfg)),
             tokenizer=EnTokenizer(str(ckpt_dir / "tokenizer.json")),
+            t3_cfg=t3_cfg,
+            s3gen_cfg=s3gen_cfg,
+            ve_cfg=ve_cfg,
         )
         conds_file = conds_path or (ckpt_dir / "conds.pt")
         if Path(conds_file).exists():

@@ -161,6 +161,33 @@ def test_padded_batch_matches_single(jcfg, jparams, ref_t3):
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
 
 
+def test_decode_impls_equivalent(jcfg, jparams, ref_t3):
+    """The scan (read-only cache xs + explicit self-attention) and unrolled
+    decode steps must produce identical token streams, with and without the
+    alignment watchdog collecting layer attention."""
+    rng = np.random.default_rng(3)
+    _, speaker, prompt, emotion = _make_cond(ref_t3, rng)
+    body = rng.integers(1, 704, (2, 9))
+    text = np.concatenate([np.full((2, 1), 255), body, np.zeros((2, 1))], axis=1).astype(np.int32)
+    import dataclasses
+
+    cfg = dataclasses.replace(jcfg, alignment_layer=2)  # tiny model: 4 layers
+    for alignment in (False, True):
+        common = dict(
+            speaker_emb=jnp.asarray(np.tile(speaker, (2, 1))),
+            prompt_tokens=jnp.asarray(np.tile(prompt, (2, 1))),
+            emotion_adv=jnp.full((2,), emotion),
+            rng=jax.random.PRNGKey(0),
+            sampling=SamplingConfig(greedy=True),
+            max_new_tokens=10,
+            alignment=alignment,
+        )
+        lens = jnp.asarray([11, 11], np.int32)
+        rs = t3_generate(jparams, cfg, jnp.asarray(text), lens, decode_impl="scan", **common)
+        ru = t3_generate(jparams, cfg, jnp.asarray(text), lens, decode_impl="unroll", **common)
+        np.testing.assert_array_equal(np.asarray(rs.tokens), np.asarray(ru.tokens))
+
+
 def test_forward_loss_runs(jcfg, jparams):
     batch = {
         "speaker_emb": jnp.zeros((2, 256)),
