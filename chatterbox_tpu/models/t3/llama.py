@@ -256,7 +256,7 @@ def llama_decode_step(
     attn_len_mask: jnp.ndarray,
     collect_attn_layer: Optional[int] = None,
     unroll: int = 1,
-    use_pallas: bool = False,
+    pallas_valid: Optional[tuple] = None,
 ):
     """One-token incremental forward (scan-over-layers, read-only cache).
 
@@ -301,8 +301,10 @@ def llama_decode_step(
         if lid is not None:
             from ...ops.flash_decode import flash_decode_layer_attention
 
+            row_prefix, gap_end = pallas_valid
             a4 = flash_decode_layer_attention(
-                cache, lid, q[:, :, 0], k[:, :, 0], v[:, :, 0], cache_mask,
+                cache, lid, cache_pos, row_prefix, gap_end,
+                q[:, :, 0], k[:, :, 0], v[:, :, 0],
                 interpret=jax.default_backend() == "cpu",
             )  # (B, H, D)
             a = a4.reshape(xx.shape[0], 1, h_heads * d)
@@ -340,7 +342,7 @@ def llama_decode_step(
     n_layers = cfg.num_hidden_layers
     assert n_layers % unroll == 0, (n_layers, unroll)
     groups = n_layers // unroll
-    pallas_mode = use_pallas and collect_attn_layer is None
+    pallas_mode = pallas_valid is not None and collect_attn_layer is None
 
     grouped_params = jax.tree.map(
         lambda w: w.reshape((groups, unroll) + w.shape[1:]), params["layers"]

@@ -228,9 +228,9 @@ def t3_generate(
     pre = t3_build_prefill(p, cfg, cond, text_tokens, text_lens, sampling.cfg_weight)
 
     s0 = pre.embeds.shape[1]
-    # pad the cache to the flash-decode kernel's S-block multiple (cheap:
-    # <= 63 masked slots of extra attention traffic)
-    cache_len = -(-(s0 + max_new_tokens) // 64) * 64
+    # pad the cache to the flash-decode kernel's S-block multiple (free at
+    # runtime: the kernel truncates to live blocks each step)
+    cache_len = -(-(s0 + max_new_tokens) // 128) * 128
     hidden, cache = llama_prefill(
         p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len
     )
@@ -246,6 +246,14 @@ def t3_generate(
     base_pos = jnp.max(pre.positions, axis=1) + 1  # (2B,)
 
     valid0 = jnp.pad(pre.valid, ((0, 0), (0, cache_len - s0)))
+
+    # flash-decode kernel validity scalars (ops/flash_decode.py): a cache
+    # slot is live iff < cond+text prefix or in [gap_end, cache_pos) --
+    # the text right-padding gap is the only interior hole
+    row_prefix = cfg.n_cond + text_lens  # (B,)
+    if cfg_on:
+        row_prefix = jnp.concatenate([row_prefix, row_prefix])
+    gap_end = jnp.int32(cfg.n_cond + tmax)
 
     def sample_step(logits_2b, seen, key, done, align_state, attn_row, step_i):
         logits_2b = logits_2b.astype(jnp.float32)  # sampling chain in fp32
@@ -345,7 +353,7 @@ def t3_generate(
                 valid,
                 collect_attn_layer=cfg.alignment_layer if alignment else None,
                 unroll=scan_unroll,
-                use_pallas=use_pallas,
+                pallas_valid=(row_prefix, gap_end) if use_pallas else None,
             )
         logits = linear(p["speech_head"], h[:, 0])
         attn_text = (

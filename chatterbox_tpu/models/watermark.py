@@ -139,7 +139,7 @@ class SpreadSpectrumWatermarker:
         y = np.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
         return y[0] if squeeze else y
 
-    def get_watermark(self, wav, sample_rate: int = 24000):
+    def get_payload(self, wav, sample_rate: int = 24000):
         """Extract the payload correlation -> bit array (payload_bits,)."""
         cfg = self.cfg
         x = np.atleast_2d(np.asarray(wav, np.float32))
@@ -161,66 +161,202 @@ class SpreadSpectrumWatermarker:
         corr = np.asarray(fn(jnp.asarray(x)))
         return (corr > 0).astype(np.int32)
 
+    def get_watermark(self, wav, sample_rate: int = 24000) -> float:
+        """Presence detection, API-matching upstream perth (README.md:89-108):
+        returns 1.0 (watermarked) or 0.0. The default apply embeds the
+        all-ones payload; presence = >= 75% of its bits decode positive
+        (chance level on unmarked audio is a fair coin per bit)."""
+        bits = self.get_payload(wav, sample_rate)
+        return 1.0 if float(np.mean(bits)) >= 0.75 else 0.0
 
-class NeuralWatermarker:
-    """Perth-architecture-shaped neural watermarker (encoder/decoder conv
-    stacks on log-magnitude STFT). Weights are random-init unless a converted
-    Perth checkpoint is supplied; with random weights apply() is a no-op-level
-    perturbation and extraction accuracy is chance."""
 
-    def __init__(self, params=None, cfg: WatermarkConfig = WatermarkConfig()):
-        self.cfg = cfg
-        if params is None:
-            params = self.init(jax.random.PRNGKey(cfg.seed))
+def convert_perth(sd, strict: bool = True):
+    """torch Perth checkpoint -> (params, meta) for PerthNetImplicit.
+
+    The published checkpoint's exact topology cannot be verified offline, so
+    this converter REBUILDS the net from the state dict instead of assuming
+    one (same defense as convert_s3tokenizer): container unwrap ('model' /
+    'state_dict' / 'module.' wrappers), then the 'encoder.*' and 'decoder.*'
+    conv/linear stacks in natural index order, with every consumed key
+    tracked and leftovers raising (strict). The executable semantics the
+    stacks are applied with live in tests/torch_perth_ref.py and are
+    golden-tested in tests/test_watermark_perth.py.
+    """
+    import re as _re
+
+    def _np(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    # unwrap nested containers
+    for wrap in ("model", "state_dict", "network"):
+        if wrap in sd and not hasattr(sd[wrap], "shape"):
+            sd = sd[wrap]
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    consumed = set()
+
+    def build_stack(group):
+        weight_keys = [
+            k for k in sd
+            if k.startswith(group + ".") and k.endswith("weight")
+            and getattr(sd[k], "ndim", len(getattr(sd[k], "shape", ()))) >= 2
+        ]
+
+        def order(k):
+            return [int(x) for x in _re.findall(r"\d+", k)]
+
+        layers = []
+        for wk in sorted(weight_keys, key=order):
+            w = _np(sd[wk])
+            consumed.add(wk)
+            p = {}
+            if w.ndim == 3:  # torch Conv1d (Cout, Cin, W) -> (W, Cin, Cout)
+                p["w"] = np.transpose(w, (2, 1, 0)).astype(np.float32)
+                kind = "conv"
+            elif w.ndim == 2:  # Linear (Cout, Cin) -> (Cin, Cout)
+                p["w"] = w.T.astype(np.float32)
+                kind = "linear"
+            else:
+                raise ValueError(f"unsupported weight rank for {wk}: {w.shape}")
+            bk = wk[: -len("weight")] + "bias"
+            if bk in sd:
+                p["b"] = _np(sd[bk]).astype(np.float32)
+                consumed.add(bk)
+            layers.append({"kind": kind, **p})
+        if not layers:
+            raise KeyError(f"no '{group}.*weight' conv/linear keys in checkpoint")
+        return layers
+
+    enc = build_stack("encoder")
+    dec = build_stack("decoder")
+    unconsumed = sorted(k for k in sd if k not in consumed)
+    if unconsumed and strict:
+        raise ValueError(
+            f"convert_perth: {len(unconsumed)} checkpoint keys NOT consumed "
+            f"(layout drift?): {unconsumed[:20]}"
+        )
+
+    n_bins = enc[0]["w"].shape[1]
+    meta = {
+        "n_fft": (n_bins - 1) * 2,
+        "n_bins": n_bins,
+        "unconsumed": unconsumed,
+    }
+    return {"encoder": enc, "decoder": dec}, meta
+
+
+def load_perth_checkpoint(path):
+    """Load a torch-pickle Perth checkpoint file -> (params, meta)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_perth(sd)
+
+
+class PerthNetImplicit:
+    """Perth-implicit neural watermarker (JAX port).
+
+    Applies an encoder-predicted, tanh-bounded log-magnitude ripple to the
+    STFT of the audio (phase preserved) and detects its presence with a
+    decoder conv stack (sigmoid over a global-mean logit), matching the
+    upstream API: ``get_watermark`` returns 1.0 / 0.0 (reference
+    README.md:89-108). Semantics stated executably in
+    tests/torch_perth_ref.py; the net topology itself is rebuilt from the
+    checkpoint by ``convert_perth``.
+    """
+
+    def __init__(self, params, meta=None, strength: float = 0.15):
         self.params = params
+        n_bins = params["encoder"][0]["w"].shape[1]
+        self.n_fft = (meta or {}).get("n_fft", (n_bins - 1) * 2)
+        self.hop = self.n_fft // 4
+        self.strength = strength
+        self._jit = {}
 
-    def init(self, key):
-        cfg = self.cfg
-        f = cfg.n_fft // 2 + 1
-        ks = jax.random.split(key, 6)
+    @classmethod
+    def from_checkpoint(cls, path):
+        params, meta = load_perth_checkpoint(path)
+        return cls(params, meta)
 
-        def conv(k, w, i, o):
-            return {"w": jax.random.normal(k, (w, i, o)) * 0.02, "b": jnp.zeros((o,))}
-
-        return {
-            "enc": [conv(ks[0], 3, f, 256), conv(ks[1], 3, 256, 256), conv(ks[2], 3, 256, f)],
-            "dec": [conv(ks[3], 3, f, 256), conv(ks[4], 3, 256, 256), conv(ks[5], 3, 256, cfg.payload_bits)],
-        }
-
-    def _net(self, layers, x):
+    def _stack(self, layers, x, final_tanh):
+        """x (B, T, F) frames; generic sequential stack (leaky_relu 0.2
+        between layers, as stated in torch_perth_ref)."""
         for i, lp in enumerate(layers):
-            x = conv1d(lp, x, padding=1)
-            if i < len(layers) - 1:
-                x = jax.nn.gelu(x)
-        return x
+            last = i == len(layers) - 1
+            if lp["kind"] == "conv":
+                w = lp["w"].shape[0]
+                x = conv1d(lp, x, padding=(w - 1) // 2)
+            else:
+                x = x @ lp["w"] + lp.get("b", 0.0)
+            if not last:
+                x = jax.nn.leaky_relu(x, 0.2)
+        return jnp.tanh(x) if final_tanh else x
+
+    def _logmag(self, x):
+        win = dsp.hann_window(self.n_fft)
+        re, im = dsp.stft(x, self.n_fft, self.hop, win)
+        return re, im, jnp.log(jnp.sqrt(re**2 + im**2) + 1e-6)
 
     def apply_watermark(self, wav, watermark=None, sample_rate: int = 24000):
-        cfg = self.cfg
         squeeze = np.ndim(wav) == 1
-        x = jnp.atleast_2d(jnp.asarray(wav, jnp.float32))
+        x = np.atleast_2d(np.asarray(wav, np.float32))
         t_len = x.shape[-1]
-        x = jnp.pad(x, ((0, 0), (0, (-t_len) % cfg.hop)))
-        win = dsp.hann_window(cfg.n_fft)
-        re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
-        logmag = jnp.log(jnp.sqrt(re**2 + im**2) + 1e-6)
-        delta = jnp.tanh(self._net(self.params["enc"], logmag))
-        scale = jnp.exp(cfg.strength * delta)
-        re, im = re * scale, im * scale
-        y = dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
-        y = jnp.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
-        y = np.asarray(y)
+        key = ("apply", x.shape)
+        fn = self._jit.get(key)
+        if fn is None:
+
+            @jax.jit
+            def fn(xx):
+                xx = jnp.pad(xx, ((0, 0), (0, (-t_len) % self.hop)))
+                re, im, logmag = self._logmag(xx)
+                delta = self._stack(self.params["encoder"], logmag, final_tanh=True)
+                scale = jnp.exp(self.strength * delta)
+                y = dsp.istft(re * scale, im * scale, self.n_fft, self.hop,
+                              dsp.hann_window(self.n_fft))
+                return y
+
+            self._jit[key] = fn
+        y = np.asarray(fn(jnp.asarray(x)))
+        y = np.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
         return y[0] if squeeze else y
 
-    def get_watermark(self, wav, sample_rate: int = 24000):
-        cfg = self.cfg
-        x = jnp.atleast_2d(jnp.asarray(wav, jnp.float32))
-        win = dsp.hann_window(cfg.n_fft)
-        re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
-        logmag = jnp.log(jnp.sqrt(re**2 + im**2) + 1e-6)
-        logits = jnp.mean(self._net(self.params["dec"], logmag), axis=(0, 1))
-        return (np.asarray(logits) > 0).astype(np.int32)
+    def presence_logit(self, wav):
+        x = np.atleast_2d(np.asarray(wav, np.float32))
+        key = ("extract", x.shape)
+        fn = self._jit.get(key)
+        if fn is None:
+
+            @jax.jit
+            def fn(xx):
+                _, _, logmag = self._logmag(xx)
+                out = self._stack(self.params["decoder"], logmag, final_tanh=False)
+                return jnp.mean(out, axis=(1, 2))  # (B,) global-mean logit
+
+            self._jit[key] = fn
+        return np.asarray(fn(jnp.asarray(x)))
+
+    def get_watermark(self, wav, sample_rate: int = 24000) -> float:
+        return float(jax.nn.sigmoid(self.presence_logit(wav)[0]) > 0.5)
 
 
-def PerthImplicitWatermarker(cfg: WatermarkConfig = WatermarkConfig()):
-    """Factory matching the reference's constructor name (tts.py:126)."""
+def PerthImplicitWatermarker(
+    cfg: WatermarkConfig = WatermarkConfig(), checkpoint=None
+):
+    """Factory matching the reference's constructor name (tts.py:126).
+
+    Returns the neural Perth engine when a converted checkpoint is available
+    (``checkpoint`` arg, $CHATTERBOX_PERTH_CKPT, or perth.pth next to the
+    package); otherwise the weightless spread-spectrum engine keeps the
+    always-watermarked capability contract."""
+    import os
+    from pathlib import Path
+
+    cand = checkpoint or os.environ.get("CHATTERBOX_PERTH_CKPT")
+    if cand is None:
+        default = Path(__file__).resolve().parent.parent / "perth.pth"
+        cand = str(default) if default.exists() else None
+    if cand is not None:
+        return PerthNetImplicit.from_checkpoint(cand)
     return SpreadSpectrumWatermarker(cfg)

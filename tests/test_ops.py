@@ -18,6 +18,20 @@ def _xla_ref(q, k_all, v_all, mask_all):
     return jnp.einsum("bhs,bhsd->bhd", probs, v_all.astype(jnp.float32)).astype(q.dtype)
 
 
+def _valid_mask(s, row_prefix, gap_end, cur_len):
+    idx = np.arange(s)[None]
+    return jnp.asarray(
+        (idx < np.asarray(row_prefix)[:, None]) | ((idx >= gap_end) & (idx < cur_len))
+    )
+
+
+def _ref_for(cache, layer, q, k_new, v_new, mask):
+    k_all = jnp.concatenate([cache[layer, 0], k_new[:, :, None]], axis=2)
+    v_all = jnp.concatenate([cache[layer, 1], v_new[:, :, None]], axis=2)
+    mask_all = jnp.concatenate([mask, jnp.ones((mask.shape[0], 1), bool)], axis=1)
+    return _xla_ref(q, k_all, v_all, mask_all)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("layer", [0, 2])
 def test_flash_decode_layer_matches_xla(dtype, layer):
@@ -27,16 +41,15 @@ def test_flash_decode_layer_matches_xla(dtype, layer):
     q = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
     k_new = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
     v_new = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
-    lens = np.array([100, 256, 1, 64])
-    mask = jnp.asarray(np.arange(s)[None] < lens[:, None])
+    # prefix-mask case: gap_end == cur_len, per-row prefixes
+    prefix = np.array([100, 256, 1, 64], np.int32)
+    cur = 256
+    mask = _valid_mask(s, prefix, cur, cur)
 
-    k_all = jnp.concatenate([cache[layer, 0], k_new[:, :, None]], axis=2)
-    v_all = jnp.concatenate([cache[layer, 1], v_new[:, :, None]], axis=2)
-    mask_all = jnp.concatenate([mask, jnp.ones((b, 1), bool)], axis=1)
-    ref = _xla_ref(q, k_all, v_all, mask_all)
-
+    ref = _ref_for(cache, layer, q, k_new, v_new, mask)
     got = flash_decode_layer_attention(
-        cache, jnp.int32(layer), q, k_new, v_new, mask, interpret=True
+        cache, jnp.int32(layer), jnp.int32(cur), jnp.asarray(prefix),
+        jnp.int32(cur), q, k_new, v_new, interpret=True,
     )
     atol = 1e-5 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(
@@ -44,26 +57,51 @@ def test_flash_decode_layer_matches_xla(dtype, layer):
     )
 
 
+def test_flash_decode_gap_and_truncation():
+    """T3-shaped validity (interior text-padding gap) + runtime truncation:
+    dead blocks may hold garbage (even non-finite) without leaking."""
+    rng = np.random.default_rng(2)
+    l, b, h, s, d = 2, 2, 4, 512, 64
+    cache = rng.standard_normal((l, 2, b, h, s, d)).astype(np.float32)
+    cur = 150  # live slots end here; blocks 2..3 are dead
+    cache[:, :, :, :, 256:] = np.nan
+    cache = jnp.asarray(cache)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    prefix = np.array([40, 55], np.int32)  # cond+text per row
+    gap_end = 70  # text bucket ends here; [70, cur) are BOS+decoded slots
+
+    mask = _valid_mask(s, prefix, gap_end, cur)
+    ref = _ref_for(jnp.nan_to_num(cache), 1, q, kn, vn, mask)
+    got = flash_decode_layer_attention(
+        cache, jnp.int32(1), jnp.int32(cur), jnp.asarray(prefix),
+        jnp.int32(gap_end), q, kn, vn, interpret=True,
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_flash_decode_inside_scan_matches_dense_decode():
     """Drive the kernel exactly as llama_decode_step does: scanned layers,
-    dynamic layer index, growing valid mask."""
+    dynamic layer index."""
     rng = np.random.default_rng(1)
     l, b, h, s, d = 2, 2, 4, 128, 32
     cache = jnp.asarray(rng.standard_normal((l, 2, b, h, s, d)), jnp.float32)
     q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
     kn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
     vn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
-    mask = jnp.asarray(np.arange(s)[None] < np.array([50, 90])[:, None])
+    prefix = np.array([50, 90], np.int32)
+    cur = 90
 
     def body(_, lid):
         return None, flash_decode_layer_attention(
-            cache, lid, q, kn, vn, mask, interpret=True
+            cache, lid, jnp.int32(cur), jnp.asarray(prefix), jnp.int32(cur),
+            q, kn, vn, interpret=True,
         )
 
     _, outs = jax.lax.scan(body, None, jnp.arange(l, dtype=jnp.int32))
+    mask = _valid_mask(s, prefix, cur, cur)
     for lid in range(l):
-        k_all = jnp.concatenate([cache[lid, 0], kn[:, :, None]], axis=2)
-        v_all = jnp.concatenate([cache[lid, 1], vn[:, :, None]], axis=2)
-        mask_all = jnp.concatenate([mask, jnp.ones((b, 1), bool)], axis=1)
-        ref = _xla_ref(q, k_all, v_all, mask_all)
+        ref = _ref_for(cache, lid, q, kn, vn, mask)
         np.testing.assert_allclose(np.asarray(outs[lid]), np.asarray(ref), atol=1e-5)

@@ -103,8 +103,10 @@ def test_watermark_roundtrip():
     assert marked.shape == wav.shape
     # inaudible: tiny perturbation
     assert np.abs(marked - wav).max() < 0.05
-    got = wm.get_watermark(marked)
+    got = wm.get_payload(marked)
     assert (got == payload).mean() >= 0.9
+    # presence API (upstream-perth semantics): default-marked audio -> 1.0
+    assert wm.get_watermark(wm.apply_watermark(wav)) == 1.0
 
 
 def test_audio_io_roundtrip(tmp_path):
@@ -175,7 +177,7 @@ def test_watermark_in_graph_matches_standalone():
     got = np.asarray(jax.jit(wm.apply_in_graph)(jnp.asarray(wav), pattern))
     np.testing.assert_allclose(got, ref, atol=1e-5)
     # and the fused output still decodes
-    assert (wm.get_watermark(got[0]) == payload).mean() >= 0.9
+    assert (wm.get_payload(got[0]) == payload).mean() >= 0.9
 
 
 def test_pipelined_batches_match_sequential(tts):
