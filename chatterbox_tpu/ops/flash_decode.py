@@ -56,7 +56,7 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
     s_i = pl.program_id(1)
     n_s = pl.num_programs(1)
     n_live, cur_len, gap_end = scal_ref[1], scal_ref[2], scal_ref[3]
-    h, d = q_ref.shape[1], q_ref.shape[3]
+    b_blk, h, d = q_ref.shape[0], q_ref.shape[1], q_ref.shape[3]
     scale = 1.0 / np.sqrt(d)
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
 
@@ -69,55 +69,57 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
         # (lane-reductions to 1-D vectors and scalar extractions do not
         # lower; see scripts/probe_ops.py). m/l stats are (1, D)-broadcast.
         zero = jnp.zeros((1, d), jnp.float32)
-        for hh in range(h):
-            q_h = q_ref[0, hh].astype(jnp.float32)  # (1, D)
-            kn_h = kn_ref[0, hh].astype(jnp.float32)
-            m0 = jnp.sum(q_h * kn_h, axis=1, keepdims=True) * scale  # (1, 1)
-            m_scr[hh] = zero + m0
-            l_scr[hh] = zero + 1.0
-            acc_scr[hh] = vn_ref[0, hh].astype(jnp.float32)  # (1, D)
+        for rr in range(b_blk):
+            for hh in range(h):
+                q_h = q_ref[rr, hh].astype(jnp.float32)  # (1, D)
+                kn_h = kn_ref[rr, hh].astype(jnp.float32)
+                m0 = jnp.sum(q_h * kn_h, axis=1, keepdims=True) * scale  # (1, 1)
+                m_scr[rr, hh] = zero + m0
+                l_scr[rr, hh] = zero + 1.0
+                acc_scr[rr, hh] = vn_ref[rr, hh].astype(jnp.float32)  # (1, D)
 
     @pl.when(s_i < n_live)
     def _accumulate():
         # validity from static tile-aligned position rows + SMEM scalars --
         # no dynamic vector loads (Mosaic rejects unaligned dynamic indices)
         pos = pos_ref[0, 0:1, :]  # (1, Sb) int32 absolute slot indices
-        rp = prefix_ref[b_i]
-        valid = (pos < rp) | ((pos >= gap_end) & (pos < cur_len))
-        bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
-
         zero = jnp.zeros((1, d), jnp.float32)
-        for hh in range(h):  # static unroll: row-form 2-D ops only
-            k_h = kc_ref[0, 0, 0, hh]  # (Sb, D) cache dtype
-            v_h = vc_ref[0, 0, 0, hh]
-            q_h = q_ref[0, hh].astype(k_h.dtype)  # (1, D)
-            scores = (
-                lax.dot_general(
-                    q_h, k_h, (((1,), (1,)), ((), ())),
+        for rr in range(b_blk):  # static unroll: row-form 2-D ops only
+            rp = prefix_ref[b_i * b_blk + rr]
+            valid = (pos < rp) | ((pos >= gap_end) & (pos < cur_len))
+            bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
+            for hh in range(h):
+                k_h = kc_ref[0, 0, rr, hh]  # (Sb, D) cache dtype
+                v_h = vc_ref[0, 0, rr, hh]
+                q_h = q_ref[rr, hh].astype(k_h.dtype)  # (1, D)
+                scores = (
+                    lax.dot_general(
+                        q_h, k_h, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, Sb): QK^T as a transpose-rhs matmul, no relayout
+                    * scale
+                    + bias
+                )
+                m_blk = jnp.max(scores, axis=1, keepdims=True)  # (1, 1)
+                p = jnp.exp(scores - m_blk)  # (1, Sb)
+                l_blk = jnp.sum(p, axis=1, keepdims=True)  # (1, 1)
+                pv = lax.dot_general(
+                    p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (1, Sb): QK^T as a transpose-rhs matmul, no relayout
-                * scale
-                + bias
-            )
-            m_blk = jnp.max(scores, axis=1, keepdims=True)  # (1, 1)
-            p = jnp.exp(scores - m_blk)  # (1, Sb)
-            l_blk = jnp.sum(p, axis=1, keepdims=True)  # (1, 1)
-            pv = lax.dot_general(
-                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, D)
-            m_prev = m_scr[hh]  # (1, D) broadcast stats
-            m_new = jnp.maximum(m_prev, zero + m_blk)
-            alpha = jnp.exp(m_prev - m_new)
-            beta = jnp.exp((zero + m_blk) - m_new)
-            m_scr[hh] = m_new
-            l_scr[hh] = l_scr[hh] * alpha + l_blk * beta
-            acc_scr[hh] = acc_scr[hh] * alpha + pv * beta
+                )  # (1, D)
+                m_prev = m_scr[rr, hh]  # (1, D) broadcast stats
+                m_new = jnp.maximum(m_prev, zero + m_blk)
+                alpha = jnp.exp(m_prev - m_new)
+                beta = jnp.exp((zero + m_blk) - m_new)
+                m_scr[rr, hh] = m_new
+                l_scr[rr, hh] = l_scr[rr, hh] * alpha + l_blk * beta
+                acc_scr[rr, hh] = acc_scr[rr, hh] * alpha + pv * beta
 
     @pl.when(s_i == n_s - 1)
     def _finish():
-        for hh in range(h):
-            o_ref[0, hh] = (acc_scr[hh] / l_scr[hh]).astype(o_ref.dtype)  # (1, D)
+        for rr in range(b_blk):
+            for hh in range(h):
+                o_ref[rr, hh] = (acc_scr[rr, hh] / l_scr[rr, hh]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -138,7 +140,10 @@ def flash_decode_layer_attention(
     """
     _, _, b, h, s, d = cache.shape
     assert s % S_BLOCK == 0, (s, S_BLOCK)
-    grid = (b, s // S_BLOCK)
+    # rows per grid cell: amortizes grid-step overhead (measured ~45% of
+    # kernel time at one row per cell); VMEM = b_blk * 512 KB * 2 * 2
+    b_blk = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    grid = (b // b_blk, s // S_BLOCK)
 
     # absolute slot indices, pre-tiled (n_s, 8, S_BLOCK) so the kernel's
     # block read is fully static/aligned (row 0 of each 8-row tile is used)
@@ -170,18 +175,18 @@ def flash_decode_layer_attention(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, h, S_BLOCK, d), kc_map),
-            pl.BlockSpec((1, 1, 1, h, S_BLOCK, d), vc_map),
-            pl.BlockSpec((1, h, 1, d), row_map),
-            pl.BlockSpec((1, h, 1, d), row_map),
-            pl.BlockSpec((1, h, 1, d), row_map),
+            pl.BlockSpec((1, 1, b_blk, h, S_BLOCK, d), kc_map),
+            pl.BlockSpec((1, 1, b_blk, h, S_BLOCK, d), vc_map),
+            pl.BlockSpec((b_blk, h, 1, d), row_map),
+            pl.BlockSpec((b_blk, h, 1, d), row_map),
+            pl.BlockSpec((b_blk, h, 1, d), row_map),
             pl.BlockSpec((1, 8, S_BLOCK), lambda bi, si, lr, pr: (si, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, 1, d), row_map),
+        out_specs=pl.BlockSpec((b_blk, h, 1, d), row_map),
         scratch_shapes=[
-            pltpu.VMEM((h, 1, d), jnp.float32),
-            pltpu.VMEM((h, 1, d), jnp.float32),
-            pltpu.VMEM((h, 1, d), jnp.float32),
+            pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
+            pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
+            pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(

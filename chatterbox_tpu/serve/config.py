@@ -22,6 +22,7 @@ class ServerConfig(BaseModel):
     cache_path: str = "storage/cache"
     output_path: str = "storage/outputs"
     max_upload_mb: int = 50
+    allowed_audio_formats: tuple = ("wav", "mp3", "flac", "ogg")  # reference config.py upload gate
     default_exaggeration: float = 0.5
     default_cfg_weight: float = 0.5
     default_temperature: float = 0.8

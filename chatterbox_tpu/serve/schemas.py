@@ -35,18 +35,47 @@ class TTSResponse(BaseModel):
 class EmotionProfile(BaseModel):
     id: str
     name: str = ""
+    character: str = ""  # reference models.py:42 groups emotions by character
     description: str = ""
-    exaggeration: float = 0.5
+    exaggeration: float = Field(0.5, ge=0.0, le=1.0)
     voice_samples: List[str] = []
     created_at: float = Field(default_factory=time.time)
+    updated_at: float = Field(default_factory=time.time)
 
 
 class EmotionCreateRequest(BaseModel):
     id: str
     name: str = ""
+    character: str = ""
     description: str = ""
-    exaggeration: float = 0.5
+    exaggeration: float = Field(0.5, ge=0.0, le=1.0)
     voice_samples: List[str] = []
+
+
+class EmotionUpdateRequest(BaseModel):
+    """Partial update (reference EmotionProfileUpdate, models.py:57-62)."""
+
+    name: Optional[str] = Field(None, min_length=1, max_length=100)
+    character: Optional[str] = Field(None, min_length=1, max_length=100)
+    exaggeration: Optional[float] = Field(None, ge=0.0, le=1.0)
+    description: Optional[str] = Field(None, max_length=500)
+
+
+class EmotionListResponse(BaseModel):
+    """Reference models.py:82-86."""
+
+    emotions: List[EmotionProfile]
+    total_count: int
+    characters: List[str]
+
+
+class VoiceUploadResponse(BaseModel):
+    """Reference models.py:74-79."""
+
+    success: bool
+    message: str
+    voice_id: Optional[str] = None
+    file_path: Optional[str] = None
 
 
 class ServerStatus(BaseModel):

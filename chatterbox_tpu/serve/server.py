@@ -13,12 +13,42 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 from .config import ServerConfig, get_config
-from .schemas import EmotionCreateRequest, TTSRequest
+from .schemas import EmotionCreateRequest, EmotionUpdateRequest, TTSRequest
 from .service import TTSService
 
 logger = logging.getLogger(__name__)
 
 _INDEX = Path(__file__).parent / "templates" / "index.html"
+
+
+def parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser (python-multipart isn't installed)
+    -> (fields: dict[str, str], files: dict[name, (filename, bytes)])."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type or "")
+    if not m:
+        raise ValueError("missing multipart boundary")
+    boundary = b"--" + m.group(1).encode()
+    fields, files = {}, {}
+    for part in body.split(boundary)[1:]:
+        if part in (b"--", b"--\r\n", b"", b"\r\n"):
+            continue
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        header, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        hdr = header.decode(errors="replace")
+        mname = re.search(r'name="([^"]*)"', hdr)
+        if not mname:
+            continue
+        mfile = re.search(r'filename="([^"]*)"', hdr)
+        if mfile:
+            files[mname.group(1)] = (mfile.group(1), payload)
+        else:
+            fields[mname.group(1)] = payload.decode(errors="replace")
+    return fields, files
 
 
 # --------------------------------------------------------------------- FastAPI
@@ -41,17 +71,53 @@ def build_fastapi_app(service: TTSService):
 
     @app.get("/emotions")
     def emotions():
-        return service.list_emotions()
+        return service.list_emotions().model_dump()
 
     @app.post("/emotions")
     def create_emotion(req: EmotionCreateRequest):
         return service.create_emotion(req).model_dump()
+
+    @app.get("/emotions/{emotion_id}")
+    def get_emotion(emotion_id: str):
+        prof = service.get_emotion(emotion_id)
+        if prof is None:
+            raise HTTPException(404, "Emotion not found")
+        return prof.model_dump()
+
+    @app.put("/emotions/{emotion_id}")
+    def update_emotion(emotion_id: str, req: EmotionUpdateRequest):
+        prof = service.update_emotion(emotion_id, req)
+        if prof is None:
+            raise HTTPException(404, "Emotion not found")
+        return prof.model_dump()
 
     @app.delete("/emotions/{emotion_id}")
     def delete_emotion(emotion_id: str):
         if not service.delete_emotion(emotion_id):
             raise HTTPException(404, "not found")
         return {"deleted": emotion_id}
+
+    @app.post("/emotions/{emotion_id}/voices")
+    async def upload_emotion_voice(emotion_id: str, request: Request):
+        # multipart parsed manually: python-multipart isn't a dependency
+        body = await request.body()
+        try:
+            fields, files = parse_multipart(body, request.headers.get("content-type"))
+            fname, data = next(iter(files.values()))
+            return service.upload_emotion_voice(
+                emotion_id, fname, data, fields.get("description")
+            ).model_dump()
+        except KeyError as e:
+            raise HTTPException(404, str(e))
+        except (ValueError, StopIteration) as e:
+            raise HTTPException(400, str(e))
+
+    @app.delete("/emotions/{emotion_id}/voices/remove")
+    def remove_emotion_voice(emotion_id: str, voice_filename: str):
+        try:
+            return service.remove_emotion_voice(emotion_id, voice_filename)
+        except KeyError as e:
+            raise HTTPException(404, str(e))
 
     @app.post("/emotions/{emotion_id}/test")
     def test_emotion(emotion_id: str):
@@ -118,7 +184,13 @@ def make_stdlib_handler(service: TTSService):
                 if path == "/health":
                     return self._send(200, service.health().model_dump())
                 if path == "/emotions":
-                    return self._send(200, service.list_emotions())
+                    return self._send(200, service.list_emotions().model_dump())
+                m = re.fullmatch(r"/emotions/([^/]+)", path)
+                if m:
+                    prof = service.get_emotion(m.group(1))
+                    if prof is None:
+                        return self._send(404, {"error": "Emotion not found"})
+                    return self._send(200, prof.model_dump())
                 if path == "/voices":
                     return self._send(200, service.list_voices())
                 m = re.fullmatch(r"/outputs/([^/]+)", path)
@@ -151,6 +223,21 @@ def make_stdlib_handler(service: TTSService):
                 m = re.fullmatch(r"/emotions/([^/]+)/test", path)
                 if m:
                     return self._send(200, service.test_emotion(m.group(1)).model_dump())
+                m = re.fullmatch(r"/emotions/([^/]+)/voices", path)
+                if m:
+                    try:
+                        fields, files = parse_multipart(
+                            self._body(), self.headers.get("Content-Type", "")
+                        )
+                        fname, data = next(iter(files.values()))
+                        resp = service.upload_emotion_voice(
+                            m.group(1), fname, data, fields.get("description")
+                        )
+                        return self._send(200, resp.model_dump())
+                    except KeyError as e:
+                        return self._send(404, {"error": str(e)})
+                    except (ValueError, StopIteration) as e:
+                        return self._send(400, {"error": str(e)})
                 if path == "/voices/upload":
                     q = dict(
                         kv.split("=", 1) for kv in self.path.split("?", 1)[1].split("&")
@@ -164,8 +251,39 @@ def make_stdlib_handler(service: TTSService):
                 logger.exception("POST %s failed", self.path)
                 return self._send(500, {"error": str(e)})
 
+        def do_PUT(self):
+            from pydantic import ValidationError
+
+            try:
+                m = re.fullmatch(r"/emotions/([^/]+)", self.path.split("?")[0])
+                if m:
+                    req = EmotionUpdateRequest(**self._json())
+                    prof = service.update_emotion(m.group(1), req)
+                    if prof is None:
+                        return self._send(404, {"error": "Emotion not found"})
+                    return self._send(200, prof.model_dump())
+                return self._send(404, {"error": "not found"})
+            except ValidationError as e:
+                return self._send(422, {"error": "validation", "detail": json.loads(e.json())})
+            except Exception as e:
+                logger.exception("PUT %s failed", self.path)
+                return self._send(500, {"error": str(e)})
+
         def do_DELETE(self):
             try:
+                path, _, query = self.path.partition("?")
+                m = re.fullmatch(r"/emotions/([^/]+)/voices/remove", path)
+                if m:
+                    q = dict(kv.split("=", 1) for kv in query.split("&") if "=" in kv)
+                    from urllib.parse import unquote
+
+                    fname = unquote(q.get("voice_filename", ""))
+                    try:
+                        return self._send(
+                            200, service.remove_emotion_voice(m.group(1), fname)
+                        )
+                    except KeyError as e:
+                        return self._send(404, {"error": str(e)})
                 m = re.fullmatch(r"/emotions/([^/]+)", self.path)
                 if m:
                     ok = service.delete_emotion(m.group(1))

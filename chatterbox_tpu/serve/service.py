@@ -18,7 +18,16 @@ import numpy as np
 
 from ..pipeline.tts import ChatterboxTTS
 from .config import ServerConfig
-from .schemas import EmotionCreateRequest, EmotionProfile, ServerStatus, TTSRequest, TTSResponse
+from .schemas import (
+    EmotionCreateRequest,
+    EmotionListResponse,
+    EmotionProfile,
+    EmotionUpdateRequest,
+    ServerStatus,
+    TTSRequest,
+    TTSResponse,
+    VoiceUploadResponse,
+)
 from .voice_manager import VoiceManager
 
 logger = logging.getLogger(__name__)
@@ -116,14 +125,57 @@ class TTSService:
             resp.audio_url = f"/outputs/{name}"
         return resp
 
-    def list_emotions(self):
-        return [p.model_dump() for p in self.voices.list_profiles()]
+    def list_emotions(self) -> EmotionListResponse:
+        """Reference /emotions shape (server.py:301-312): emotions +
+        total_count + distinct characters."""
+        profiles = self.voices.list_profiles()
+        return EmotionListResponse(
+            emotions=profiles,
+            total_count=len(profiles),
+            characters=self.voices.list_characters(),
+        )
 
     def create_emotion(self, req: EmotionCreateRequest) -> EmotionProfile:
         return self.voices.create_profile(EmotionProfile(**req.model_dump()))
 
+    def get_emotion(self, emotion_id: str) -> Optional[EmotionProfile]:
+        return self.voices.get_profile(emotion_id)
+
+    def update_emotion(self, emotion_id: str, req: EmotionUpdateRequest) -> Optional[EmotionProfile]:
+        return self.voices.update_profile(emotion_id, req.model_dump())
+
     def delete_emotion(self, emotion_id: str) -> bool:
         return self.voices.delete_profile(emotion_id)
+
+    def upload_emotion_voice(
+        self, emotion_id: str, filename: str, data: bytes, description=None
+    ) -> VoiceUploadResponse:
+        """Reference POST /emotions/{id}/voices (server.py:376-440)."""
+        if self.voices.get_profile(emotion_id) is None:
+            raise KeyError("Emotion not found")
+        if not filename or not any(
+            filename.lower().endswith("." + f) for f in self.cfg.allowed_audio_formats
+        ):
+            raise ValueError(
+                f"Invalid file format. Allowed formats: {self.cfg.allowed_audio_formats}"
+            )
+        if len(data) > self.cfg.max_upload_mb * 1024 * 1024:
+            raise ValueError(f"File too large. Maximum size: {self.cfg.max_upload_mb}MB")
+        sample = self.voices.add_voice_sample(emotion_id, data, filename, description)
+        return VoiceUploadResponse(
+            success=True,
+            message="Voice sample uploaded successfully",
+            voice_id=sample["voice_id"],
+            file_path=sample["file_path"],
+        )
+
+    def remove_emotion_voice(self, emotion_id: str, voice_filename: str) -> dict:
+        """Reference DELETE /emotions/{id}/voices/remove (server.py:442-469)."""
+        if self.voices.get_profile(emotion_id) is None:
+            raise KeyError("Emotion not found")
+        if not self.voices.remove_voice_sample(emotion_id, voice_filename):
+            raise KeyError("Voice sample not found")
+        return {"success": True, "message": "Voice sample removed successfully"}
 
     def test_emotion(self, emotion_id: str, text: str = "This is a test of the emotion profile.") -> TTSResponse:
         return self.generate(TTSRequest(text=text, emotion=emotion_id))

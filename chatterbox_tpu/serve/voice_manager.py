@@ -71,6 +71,71 @@ class VoiceManager:
             self._save_profiles()
         return True
 
+    def update_profile(self, emotion_id: str, updates: dict) -> Optional[EmotionProfile]:
+        """Partial update (reference voice_manager update flow); invalidates
+        cached conditionals when exaggeration changes."""
+        import time
+
+        with self._lock:
+            prof = self._profiles.get(emotion_id)
+            if prof is None:
+                return None
+            data = prof.model_dump()
+            for k, v in updates.items():
+                if v is not None and k in ("name", "character", "description", "exaggeration"):
+                    data[k] = v
+            data["updated_at"] = time.time()
+            new = EmotionProfile(**data)
+            self._profiles[emotion_id] = new
+            if new.exaggeration != prof.exaggeration:
+                self._conds.pop(emotion_id, None)
+            self._save_profiles()
+            return new
+
+    def list_characters(self) -> List[str]:
+        return sorted({p.character for p in self._profiles.values() if p.character})
+
+    # ---------------------------------------------------------- voice samples
+    def add_voice_sample(self, emotion_id: str, data: bytes, filename: str,
+                         description: Optional[str] = None) -> Optional[dict]:
+        """Store an uploaded sample and attach it to a profile (reference
+        voice_manager add_voice_sample / server.py:376-440)."""
+        import time
+        import uuid
+
+        with self._lock:
+            prof = self._profiles.get(emotion_id)
+            if prof is None:
+                return None
+            safe = Path(filename).name
+            (self.voice_dir / safe).write_bytes(data)
+            if safe not in prof.voice_samples:
+                prof.voice_samples.append(safe)
+            prof.updated_at = time.time()
+            self._conds.pop(emotion_id, None)  # samples changed
+            self._save_profiles()
+            return {
+                "voice_id": uuid.uuid4().hex[:12],
+                "filename": safe,
+                "file_path": str(self.voice_dir / safe),
+                "description": description,
+            }
+
+    def remove_voice_sample(self, emotion_id: str, voice_filename: str) -> bool:
+        """Detach a sample from a profile (reference server.py:442-469). The
+        file itself stays on disk (it may be shared by other profiles)."""
+        import time
+
+        with self._lock:
+            prof = self._profiles.get(emotion_id)
+            if prof is None or Path(voice_filename).name not in prof.voice_samples:
+                return False
+            prof.voice_samples.remove(Path(voice_filename).name)
+            prof.updated_at = time.time()
+            self._conds.pop(emotion_id, None)
+            self._save_profiles()
+            return True
+
     # ---------------------------------------------------------- conditionals
     def _cache_key(self, prof: EmotionProfile) -> str:
         h = hashlib.sha1()

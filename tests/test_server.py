@@ -68,7 +68,8 @@ def test_voice_upload_emotion_generate_roundtrip(server, tmp_path):
     )
     assert code == 200 and j["id"] == "happy"
     code, lst = _req(server.port, "/emotions")
-    assert any(p["id"] == "happy" for p in lst)
+    assert lst["total_count"] == len(lst["emotions"])
+    assert any(p["id"] == "happy" for p in lst["emotions"])
 
     # generate with it (tiny model, few tokens)
     code, j = _req(
@@ -83,7 +84,7 @@ def test_voice_upload_emotion_generate_roundtrip(server, tmp_path):
     code, j = _req(server.port, "/emotions/happy", "DELETE")
     assert code == 200
     code, lst = _req(server.port, "/emotions")
-    assert not any(p["id"] == "happy" for p in lst)
+    assert not any(p["id"] == "happy" for p in lst["emotions"])
 
 
 def test_generate_unknown_emotion_400(server):
@@ -117,3 +118,83 @@ def test_emotion_test_endpoint(server, tmp_path):
     assert code == 200
     code, j = _req(server.port, "/emotions/testprof/test", "POST", {})
     assert code == 200 and j["success"] and j["duration_seconds"] > 0
+
+
+def _multipart(fields, files):
+    """Build a multipart/form-data body: (content_type, body)."""
+    boundary = "----testboundary42"
+    out = []
+    for k, v in fields.items():
+        out.append(f"--{boundary}\r\nContent-Disposition: form-data; name=\"{k}\"\r\n\r\n{v}\r\n".encode())
+    for k, (fname, data) in files.items():
+        out.append(
+            f"--{boundary}\r\nContent-Disposition: form-data; name=\"{k}\"; filename=\"{fname}\"\r\nContent-Type: audio/wav\r\n\r\n".encode()
+            + data + b"\r\n"
+        )
+    out.append(f"--{boundary}--\r\n".encode())
+    return f"multipart/form-data; boundary={boundary}", b"".join(out)
+
+
+def test_emotion_routes_parity(server, tmp_path):
+    """GET/PUT /emotions/{id}, multipart POST /emotions/{id}/voices and
+    DELETE /emotions/{id}/voices/remove (reference server.py:330-469)."""
+    rng = np.random.default_rng(11)
+    code, j = _req(
+        server.port, "/emotions", "POST",
+        {"id": "calm", "name": "Calm", "character": "Nova", "exaggeration": 0.3},
+    )
+    assert code == 200
+
+    # GET single
+    code, j = _req(server.port, "/emotions/calm")
+    assert code == 200 and j["name"] == "Calm" and j["character"] == "Nova"
+
+    # characters aggregated in the list response
+    code, lst = _req(server.port, "/emotions")
+    assert "Nova" in lst["characters"]
+
+    # PUT partial update
+    code, j = _req(server.port, "/emotions/calm", "PUT", {"exaggeration": 0.9, "description": "serene"})
+    assert code == 200 and j["exaggeration"] == 0.9 and j["description"] == "serene"
+    assert j["name"] == "Calm"  # untouched fields preserved
+
+    # multipart voice upload into the profile
+    wav_path = tmp_path / "calm1.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    ctype, body = _multipart({"description": "soft"}, {"file": ("calm1.wav", wav_path.read_bytes())})
+    url = f"http://127.0.0.1:{server.port}/emotions/calm/voices"
+    r = urllib.request.Request(url, data=body, method="POST")
+    r.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(r, timeout=60) as resp:
+        j = json.loads(resp.read())
+    assert j["success"] and j["voice_id"]
+    code, j = _req(server.port, "/emotions/calm")
+    assert "calm1.wav" in j["voice_samples"]
+
+    # bad format rejected 400
+    ctype, body = _multipart({}, {"file": ("x.exe", b"MZ")})
+    r = urllib.request.Request(url, data=body, method="POST")
+    r.add_header("Content-Type", ctype)
+    try:
+        urllib.request.urlopen(r, timeout=60)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # voice removal via query param
+    code, j = _req(server.port, "/emotions/calm/voices/remove?voice_filename=calm1.wav", "DELETE")
+    assert code == 200 and j["success"]
+    code, j = _req(server.port, "/emotions/calm")
+    assert "calm1.wav" not in j["voice_samples"]
+
+    # 404s
+    for path, method, body2 in [
+        ("/emotions/nope", "GET", None),
+        ("/emotions/nope", "PUT", {"name": "x"}),
+        ("/emotions/calm/voices/remove?voice_filename=ghost.wav", "DELETE", None),
+    ]:
+        try:
+            _req(server.port, path, method, body2)
+            assert False, path
+        except urllib.error.HTTPError as e:
+            assert e.code == 404, path
