@@ -78,9 +78,23 @@ def main():
 
     log("model init done")
     rng = np.random.default_rng(0)
+    conds_detail = {}
     if args.real_conds:
         ref = (rng.standard_normal(5 * 24000) * 0.1).astype(np.float32)
+        t0 = time.time()
         tts.prepare_conditionals(ref, exaggeration=0.5)
+        compile_and_run = time.time() - t0
+        # steady-state conditioning cost (compiled): the per-voice number a
+        # serving deployment pays (reference: 0.93 s / RTF 0.11, BASELINE.md)
+        t0 = time.time()
+        tts.prepare_conditionals(ref, exaggeration=0.5)
+        conds_s = time.time() - t0
+        conds_detail = {
+            "conditioning_s": round(conds_s, 3),
+            "conditioning_rtf": round(conds_s / 5.0, 3),
+            "conditioning_compile_s": round(compile_and_run, 1),
+        }
+        log(f"conditioning: {conds_s:.3f}s steady (ref wav 5s)")
     else:
         # synthetic conditionals: the metric is SYNTHESIS throughput; voice
         # conditioning is a one-time per-voice cost (reference: 0.93 s,
@@ -144,6 +158,7 @@ def main():
                     "platform": jax.devices()[0].platform,
                     "batch": args.batch,
                     "tokens": args.tokens,
+                    **conds_detail,
                 }
             }
         ),

@@ -322,11 +322,13 @@ class ChatterboxTTS:
         min_new_tokens: int = 0,
         num_return_sequences: int = 1,
     ) -> np.ndarray:
-        """Single-utterance API-parity generate (tts.py:208-272) -> (1, T).
+        """Single-utterance API-parity generate (tts.py:208-272) -> (k, T)
+        with k = ``num_return_sequences`` (k=1 default -> (1, T)).
 
-        ``num_return_sequences > 1`` samples k variants in one batch (the
-        reference exposes this kwarg on T3.inference, t3.py:215) and returns
-        the first; use generate_batch on duplicated texts for all of them."""
+        ``num_return_sequences > 1`` samples k distinct variants in one
+        batched decode (reference T3.inference kwarg, t3.py:215) -- each
+        batch row consumes independent RNG draws -- and returns ALL of them,
+        right-padded to the longest."""
         wavs = self.generate_batch(
             [text] * num_return_sequences,
             conds=None if audio_prompt_path is None else self.prepare_conditionals(audio_prompt_path, exaggeration),
@@ -340,7 +342,11 @@ class ChatterboxTTS:
             max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens,
         )
-        return wavs[0][None]
+        t = max(len(w) for w in wavs)
+        out = np.zeros((len(wavs), t), np.float32)
+        for i, w in enumerate(wavs):
+            out[i, : len(w)] = w
+        return out
 
     def generate_batch(
         self,

@@ -65,9 +65,11 @@ def test_tts_single_api(tts):
         tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
     w = tts.generate("Short.", max_new_tokens=8, seed=1)
     assert w.ndim == 2 and w.shape[0] == 1
-    # num_return_sequences parity kwarg (t3.py:215)
-    w2 = tts.generate("Short.", max_new_tokens=8, seed=1, num_return_sequences=2)
-    assert w2.ndim == 2
+    # num_return_sequences full semantics (reference T3.inference, t3.py:215):
+    # ALL k variants come back, sampled independently per row
+    w3 = tts.generate("Short.", max_new_tokens=12, seed=1, num_return_sequences=3)
+    assert w3.ndim == 2 and w3.shape[0] == 3
+    assert not np.array_equal(w3[0], w3[1]) or not np.array_equal(w3[1], w3[2])
 
 
 def test_conditionals_roundtrip(tts, tmp_path):
