@@ -60,11 +60,18 @@ def _causal_resnet(p, x, mask, t_emb):
     return h + conv1d(p["res_conv"], x * mask)
 
 
-def _attn(p, x, n_heads, key_bias=None):
+FLASH_ATTENTION = True  # module switch for A/B benchmarking
+
+
+def _attn(p, x, n_heads, key_bias=None, use_flash=None):
     """diffusers Attention: qkv no bias, out bias; scale 1/sqrt(head_dim).
 
     QKV projections are fused into one matmul (better MXU tiling at these
-    small channel counts); converters emit the fused "to_qkv" weight."""
+    small channel counts); converters emit the fused "to_qkv" weight.
+
+    Default path is the fused Pallas kernel (ops/flash_attention.py): the
+    dense XLA version materializes (B, H, T, T) f32 logits -- ~16 GB of HBM
+    round-trips per UNet pass at T=750/16 rows, the measured r1 bottleneck."""
     if "to_qkv" in p:
         qkv = linear(p["to_qkv"], x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -73,12 +80,31 @@ def _attn(p, x, n_heads, key_bias=None):
         q = split_heads(linear(p["to_q"], x), n_heads)
         k = split_heads(linear(p["to_k"], x), n_heads)
         v = split_heads(linear(p["to_v"], x), n_heads)
-    scale = 1.0 / np.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
-    if key_bias is not None:
-        logits = logits + key_bias[:, None, None, :]
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+    if use_flash is None:
+        use_flash = FLASH_ATTENTION
+    if use_flash:
+        from ...ops.flash_attention import flash_self_attention
+
+        t = x.shape[1]
+        tp = -(-t // 128) * 128
+        pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+        bias = (
+            key_bias.astype(jnp.float32)
+            if key_bias is not None
+            else jnp.zeros((x.shape[0], t), jnp.float32)
+        )
+        bias = jnp.pad(bias, ((0, 0), (0, tp - t)), constant_values=-1.0e10)
+        out = flash_self_attention(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), bias,
+            interpret=jax.default_backend() == "cpu",
+        )[:, :, :t]
+    else:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+        if key_bias is not None:
+            logits = logits + key_bias[:, None, None, :]
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
     return linear(p["to_out"], merge_heads(out))
 
 

@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: fused self-attention for the S3Gen flow UNet.
+
+The UNet's 56 transformer blocks at T~750, 16 CFG rows, 8 heads each
+materialize a (B, H, T, T) f32 logits tensor in XLA (~288 MB per block,
+write + read ~16 GB per UNet pass) -- the measured reason the flow stage
+sits at ~35% MXU (PERFORMANCE.md r1). This kernel keeps the (Tq_blk, T)
+logits tile in VMEM: QK^T -> masked softmax -> @V in one pass per
+(batch, head, q-block) grid cell. No online-softmax accumulation is needed
+because the full key length fits VMEM at these sequence lengths
+(T <= ~2560 -> logits tile <= ~5 MB).
+
+Mosaic-portability (this backend's older Mosaic, measured via
+scripts/probe_ops.py): only row-form 2-D ops -- ``dot_general`` contracting
+both last dims (transpose-rhs matmul) for QK^T, keepdims reductions,
+(rows, 1)-broadcast arithmetic; no >2-D batched dots, no 1-D lane vectors.
+
+Equivalent reference computation: diffusers Attention inside
+BasicTransformerBlock (reference matcha/transformer.py:243-316, live config
+s3gen.py:76-87).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_q_block(t: int) -> int:
+    for cand in (512, 256, 128):
+        if t % cand == 0:
+            return cand
+    return t
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    q = q_ref[0, 0]  # (Tq, D)
+    k = k_ref[0, 0]  # (T, D)
+    v = v_ref[0, 0]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = (
+        lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (Tq, T)
+    logits = logits + bias_ref[0, 0:1, :]  # (1, T) additive key bias
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    out = lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tq, D)
+    o_ref[0, 0] = (out / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_self_attention(q, k, v, key_bias=None, interpret: bool = False):
+    """q, k, v (B, H, T, D) with T % 128 == 0; key_bias (B, T) additive f32
+    (0 = keep, large negative = masked) or None. Returns (B, H, T, D) in
+    q.dtype. Full (non-causal) attention, exact softmax per q row."""
+    b, h, t, d = q.shape
+    assert t % 128 == 0, t
+    tq = _pick_q_block(t)
+    grid = (b, h, t // tq)
+
+    if key_bias is None:
+        key_bias = jnp.zeros((b, t), jnp.float32)
+    # tile to (B, 8, T) so the kernel's block read is static/aligned
+    bias3 = jnp.tile(key_bias.astype(jnp.float32)[:, None, :], (1, 8, 1))
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 8, t), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias3)

@@ -105,3 +105,29 @@ def test_flash_decode_inside_scan_matches_dense_decode():
     for lid in range(l):
         ref = _ref_for(cache, lid, q, kn, vn, mask)
         np.testing.assert_allclose(np.asarray(outs[lid]), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_self_attention_matches_dense(dtype):
+    from chatterbox_tpu.ops.flash_attention import flash_self_attention
+
+    rng = np.random.default_rng(5)
+    b, h, t, d = 2, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), dtype)
+    lens = np.array([200, 256])
+    bias = jnp.where(np.arange(t)[None] < lens[:, None], 0.0, -1.0e10).astype(jnp.float32)
+
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) * scale
+    logits = logits + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+
+    got = flash_self_attention(q, k, v, bias, interpret=True)
+    atol = 2e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, :, :200],
+        np.asarray(ref, np.float32)[:, :, :200], atol=atol,
+    )
