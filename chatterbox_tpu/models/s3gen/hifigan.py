@@ -152,19 +152,29 @@ def sine_source(
     f0_up: jnp.ndarray,
     phase_noise: jnp.ndarray,
     additive_noise: jnp.ndarray,
+    f0_cum_init: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """SineGen + harmonic merge inputs. f0_up: (B, L) upsampled f0 @ output rate.
 
     phase_noise: (B, H+1) uniform(-pi, pi) random initial phases (index 0 is
     forced to 0 like the reference, hifigan.py:214).
     additive_noise: (B, H+1, L) standard normal.
+    f0_cum_init: (B,) cumulative f0 integral (in cycles, sum f0/sr) BEFORE
+    this segment -- harmonic k continues at phase 2*pi*k*f0_cum_init, giving
+    exact sine continuity for chunked/streaming vocoding
+    (pipeline/streaming.py). None = segment starts at phase 0 (reference
+    behavior, full-utterance path).
     Returns per-harmonic sine+noise source (B, L, H+1). Mirrors
     hifigan.py:200-231.
     """
     h = cfg.nb_harmonics + 1
     mult = (jnp.arange(1, h + 1, dtype=jnp.float32) / cfg.sampling_rate)[None, :, None]
     f_mat = f0_up[:, None, :] * mult  # (B, H+1, L)
-    theta = 2.0 * np.pi * (jnp.cumsum(f_mat, axis=-1) % 1.0)
+    cum = jnp.cumsum(f_mat, axis=-1)
+    if f0_cum_init is not None:
+        k = jnp.arange(1, h + 1, dtype=jnp.float32)[None, :, None]
+        cum = cum + (f0_cum_init[:, None, None] % 1.0) * k
+    theta = 2.0 * np.pi * (cum % 1.0)
     phase = phase_noise.at[:, 0].set(0.0)[:, :, None]
     sines = cfg.nsf_alpha * jnp.sin(theta + phase)
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)[:, None, :]
@@ -244,6 +254,8 @@ def hift_generate(
     rng: jax.Array = None,
     phase_noise: jnp.ndarray = None,
     additive_noise: jnp.ndarray = None,
+    f0_cum_init: jnp.ndarray = None,
+    return_f0: bool = False,
 ):
     """Full vocoder: (B, T, 80) mel -> ((B, T*480) wav, (B, T*480) source).
 
@@ -261,9 +273,11 @@ def hift_generate(
         k1, k2 = jax.random.split(rng)
         phase_noise = jax.random.uniform(k1, (b, h), minval=-np.pi, maxval=np.pi)
         additive_noise = jax.random.normal(k2, (b, h, t * ups))
-    src_h = sine_source(cfg, f0_up, phase_noise, additive_noise)  # (B, L, H+1)
+    src_h = sine_source(cfg, f0_up, phase_noise, additive_noise, f0_cum_init)  # (B, L, H+1)
     source = jnp.tanh(linear(p["m_source_linear"], src_h))[..., 0]  # (B, L)
     wav = hift_decode(p, cfg, mel, source)
+    if return_f0:
+        return wav, source, f0
     return wav, source
 
 

@@ -196,64 +196,41 @@ class GenResult(NamedTuple):
     steps: jnp.ndarray  # scalar: decode iterations executed
 
 
-def t3_generate(
-    p,
-    cfg: T3Config,
-    text_tokens: jnp.ndarray,
-    text_lens: jnp.ndarray,
-    speaker_emb: jnp.ndarray,
-    prompt_tokens: jnp.ndarray,
-    emotion_adv: jnp.ndarray,
-    rng: jax.Array,
-    sampling: SamplingConfig = SamplingConfig(),
-    max_new_tokens: int = 1000,
-    alignment: bool = False,
-    decode_impl: str = "scan",  # "scan": read-only-cache layer scan (30x smaller trace); "unroll": static layer indices
-    scan_unroll: int = 1,  # layers per scan iteration in "scan" mode (must divide n_layers)
-    use_pallas: bool = True,  # flash-decode kernel reads the HBM cache zero-copy (scan mode, no alignment)
-) -> GenResult:
-    """Batched CFG speech-token generation. All shapes static; per-row EOS
-    via done-masks; early exit when every row finished.
+class GenCarry(NamedTuple):
+    """Decode-loop state; also the resumable handle for chunked/streaming
+    generation (t3_generate_resume). All shapes static, device-resident."""
 
-    text_tokens must already carry SOT/EOT framing (added by the pipeline,
-    tts.py:240-243).
-    """
-    b, tmax = text_tokens.shape
+    cache: jnp.ndarray  # (L, 2, 2B, Hkv, S, D)
+    valid: jnp.ndarray  # (2B, S)
+    tokens: jnp.ndarray  # (B, max_new)
+    seen: jnp.ndarray  # (B, vocab)
+    done: jnp.ndarray  # (B,)
+    last_logits: jnp.ndarray  # (2B, vocab)
+    last_attn: jnp.ndarray  # (2B, S_text) alignment-layer attention
+    align: tuple  # AlignState
+    key: jax.Array
+    i: jnp.ndarray
+
+
+def _make_decode_body(
+    p, cfg: T3Config, text_lens, tmax: int, s0: int, sampling: SamplingConfig,
+    alignment: bool, decode_impl: str, scan_unroll: int, use_pallas: bool,
+):
+    """Build the per-token while_loop body closure shared by t3_generate and
+    t3_generate_resume. Everything it closes over is derivable from
+    (cfg, sampling, text_lens, tmax) -- nothing request-mutable."""
+    rows_b = text_lens.shape[0]
     cfg_on = sampling.cfg_weight > 0
     n_bos = 2 if cfg_on else 1
-    pdt = p["speech_emb"]["w"].dtype
-    speaker_emb = speaker_emb.astype(pdt)
-    emotion_adv = emotion_adv.astype(pdt)
-    cond = t3_cond_prefix(p, cfg, speaker_emb, prompt_tokens, emotion_adv)
-    pre = t3_build_prefill(p, cfg, cond, text_tokens, text_lens, sampling.cfg_weight)
-
-    s0 = pre.embeds.shape[1]
-    # pad the cache to the flash-decode kernel's S-block multiple (free at
-    # runtime: the kernel truncates to live blocks each step)
-    cache_len = -(-(s0 + max_new_tokens) // 128) * 128
-    hidden, cache = llama_prefill(
-        p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len
-    )
-    # logits at the last prefill position
-    last_h = hidden[jnp.arange(hidden.shape[0]), pre.last_idx]  # (2B, C)
-    logits0 = linear(p["speech_head"], last_h)
-
-    rows_b = b  # conditional rows
-    vocab = cfg.speech_tokens_dict_size
-
-    # rope position of the next token to be written, per row (pads compacted;
-    # equals the count of valid prefill positions = s0 for unpadded rows)
-    base_pos = jnp.max(pre.positions, axis=1) + 1  # (2B,)
-
-    valid0 = jnp.pad(pre.valid, ((0, 0), (0, cache_len - s0)))
-
-    # flash-decode kernel validity scalars (ops/flash_decode.py): a cache
-    # slot is live iff < cond+text prefix or in [gap_end, cache_pos) --
-    # the text right-padding gap is the only interior hole
-    row_prefix = cfg.n_cond + text_lens  # (B,)
+    assert s0 == cfg.n_cond + tmax + n_bos, (s0, cfg.n_cond, tmax, n_bos)
+    base_pos = cfg.n_cond + text_lens + n_bos  # compacted rope position after prefill
+    if cfg_on:
+        base_pos = jnp.concatenate([base_pos, base_pos])
+    row_prefix = cfg.n_cond + text_lens
     if cfg_on:
         row_prefix = jnp.concatenate([row_prefix, row_prefix])
     gap_end = jnp.int32(cfg.n_cond + tmax)
+    text_slice = (cfg.n_cond, cfg.n_cond + tmax)
 
     def sample_step(logits_2b, seen, key, done, align_state, attn_row, step_i):
         logits_2b = logits_2b.astype(jnp.float32)  # sampling chain in fp32
@@ -288,30 +265,7 @@ def t3_generate(
         tok = jnp.where(done, cfg.stop_speech_token, tok)
         return tok, align_state
 
-    class Carry(NamedTuple):
-        cache: jnp.ndarray
-        valid: jnp.ndarray  # (2B, S)
-        tokens: jnp.ndarray  # (B, max_new)
-        seen: jnp.ndarray  # (B, vocab)
-        done: jnp.ndarray  # (B,)
-        last_logits: jnp.ndarray  # (2B, vocab)
-        last_attn: jnp.ndarray  # (2B, S_text) alignment-layer attention
-        align: "AlignState"
-        key: jax.Array
-        i: jnp.ndarray
-
-    seen0 = jnp.zeros((rows_b, vocab), bool).at[:, cfg.start_speech_token].set(True)
-
-    from .alignment import init_align_state
-
-    align0 = init_align_state(rows_b, max_new_tokens if alignment else 1, tmax)
-    text_slice = (cfg.n_cond, cfg.n_cond + tmax)
-    attn0 = jnp.zeros((pre.embeds.shape[0], tmax), jnp.float32)
-
-    def cond_fn(cy: Carry):
-        return (cy.i < max_new_tokens) & ~jnp.all(cy.done)
-
-    def body_fn(cy: Carry) -> Carry:
+    def body_fn(cy: GenCarry) -> GenCarry:
         key, sub = jax.random.split(cy.key)
         tok, align = sample_step(
             cy.last_logits, cy.seen, sub, cy.done, cy.align, cy.last_attn, cy.i
@@ -361,9 +315,71 @@ def t3_generate(
             if alignment
             else cy.last_attn
         )
-        return Carry(cache, valid, tokens, seen, done, logits, attn_text, align, key, cy.i + 1)
+        return GenCarry(cache, valid, tokens, seen, done, logits, attn_text, align, key, cy.i + 1)
 
-    init = Carry(
+    return body_fn
+
+
+def t3_generate(
+    p,
+    cfg: T3Config,
+    text_tokens: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    speaker_emb: jnp.ndarray,
+    prompt_tokens: jnp.ndarray,
+    emotion_adv: jnp.ndarray,
+    rng: jax.Array,
+    sampling: SamplingConfig = SamplingConfig(),
+    max_new_tokens: int = 1000,
+    alignment: bool = False,
+    decode_impl: str = "scan",  # "scan": read-only-cache layer scan (30x smaller trace); "unroll": static layer indices
+    scan_unroll: int = 1,  # layers per scan iteration in "scan" mode (must divide n_layers)
+    use_pallas: bool = True,  # flash-decode kernel reads the HBM cache zero-copy (scan mode, no alignment)
+    _prefill_only: bool = False,  # return the GenCarry after prefill (streaming)
+) -> GenResult:
+    """Batched CFG speech-token generation. All shapes static; per-row EOS
+    via done-masks; early exit when every row finished.
+
+    text_tokens must already carry SOT/EOT framing (added by the pipeline,
+    tts.py:240-243).
+    """
+    b, tmax = text_tokens.shape
+    cfg_on = sampling.cfg_weight > 0
+    n_bos = 2 if cfg_on else 1
+    pdt = p["speech_emb"]["w"].dtype
+    speaker_emb = speaker_emb.astype(pdt)
+    emotion_adv = emotion_adv.astype(pdt)
+    cond = t3_cond_prefix(p, cfg, speaker_emb, prompt_tokens, emotion_adv)
+    pre = t3_build_prefill(p, cfg, cond, text_tokens, text_lens, sampling.cfg_weight)
+
+    s0 = pre.embeds.shape[1]
+    # pad the cache to the flash-decode kernel's S-block multiple (free at
+    # runtime: the kernel truncates to live blocks each step)
+    cache_len = -(-(s0 + max_new_tokens) // 128) * 128
+    hidden, cache = llama_prefill(
+        p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len
+    )
+    # logits at the last prefill position
+    last_h = hidden[jnp.arange(hidden.shape[0]), pre.last_idx]  # (2B, C)
+    logits0 = linear(p["speech_head"], last_h)
+
+    rows_b = b  # conditional rows
+    vocab = cfg.speech_tokens_dict_size
+
+    # rope position of the next token to be written, per row (pads compacted;
+    # equals the count of valid prefill positions = s0 for unpadded rows)
+    base_pos = jnp.max(pre.positions, axis=1) + 1  # (2B,)
+
+    valid0 = jnp.pad(pre.valid, ((0, 0), (0, cache_len - s0)))
+
+    seen0 = jnp.zeros((rows_b, vocab), bool).at[:, cfg.start_speech_token].set(True)
+
+    from .alignment import init_align_state
+
+    align0 = init_align_state(rows_b, max_new_tokens if alignment else 1, tmax)
+    attn0 = jnp.zeros((pre.embeds.shape[0], tmax), jnp.float32)
+
+    init = GenCarry(
         cache=cache,
         valid=valid0,
         tokens=jnp.full((rows_b, max_new_tokens), cfg.stop_speech_token, jnp.int32),
@@ -375,13 +391,83 @@ def t3_generate(
         key=rng,
         i=jnp.int32(0),
     )
+    if _prefill_only:
+        return init
+
+    body_fn = _make_decode_body(
+        p, cfg, text_lens, tmax, s0, sampling, alignment,
+        decode_impl, scan_unroll, use_pallas,
+    )
+
+    def cond_fn(cy: GenCarry):
+        return (cy.i < max_new_tokens) & ~jnp.all(cy.done)
+
     fin = lax.while_loop(cond_fn, body_fn, init)
-    # length = index of first EOS (tokens are EOS-padded afterwards)
-    is_eos = fin.tokens == cfg.stop_speech_token
+    return _carry_result(fin, cfg)
+
+
+def _carry_result(cy: GenCarry, cfg: T3Config) -> GenResult:
+    """length = index of first EOS (tokens are EOS-padded afterwards)."""
+    max_new = cy.tokens.shape[1]
+    is_eos = cy.tokens == cfg.stop_speech_token
     lengths = jnp.where(
-        jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1), max_new_tokens
+        jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1), max_new
     ).astype(jnp.int32)
-    return GenResult(fin.tokens, lengths, fin.i)
+    return GenResult(cy.tokens, lengths, cy.i)
+
+
+def t3_generate_start(
+    p,
+    cfg: T3Config,
+    text_tokens: jnp.ndarray,
+    text_lens: jnp.ndarray,
+    speaker_emb: jnp.ndarray,
+    prompt_tokens: jnp.ndarray,
+    emotion_adv: jnp.ndarray,
+    rng: jax.Array,
+    sampling: SamplingConfig = SamplingConfig(),
+    max_new_tokens: int = 1000,
+) -> GenCarry:
+    """Prefill only: build the resumable decode carry without running the
+    loop (streaming entry; pipeline/streaming.py)."""
+    res_carry = t3_generate(
+        p, cfg, text_tokens, text_lens, speaker_emb, prompt_tokens,
+        emotion_adv, rng, sampling, max_new_tokens, _prefill_only=True,
+    )
+    return res_carry
+
+
+def t3_generate_resume(
+    p,
+    cfg: T3Config,
+    carry: GenCarry,
+    text_lens: jnp.ndarray,
+    sampling: SamplingConfig = SamplingConfig(),
+    n_steps: int = 50,
+    alignment: bool = False,
+    decode_impl: str = "scan",
+    scan_unroll: int = 1,
+    use_pallas: bool = True,
+):
+    """Continue a decode carry for up to ``n_steps`` more tokens (fewer if
+    every row hits EOS). Token streams are IDENTICAL to a single
+    t3_generate call with the same rng: the carry holds the RNG chain.
+    Returns (new_carry, GenResult-so-far)."""
+    max_new = carry.tokens.shape[1]
+    tmax = carry.last_attn.shape[1]
+    cfg_on = sampling.cfg_weight > 0
+    s0 = cfg.n_cond + tmax + (2 if cfg_on else 1)
+    body_fn = _make_decode_body(
+        p, cfg, text_lens, tmax, s0, sampling, alignment,
+        decode_impl, scan_unroll, use_pallas,
+    )
+    i_end = jnp.minimum(carry.i + n_steps, max_new)
+
+    def cond_fn(cy: GenCarry):
+        return (cy.i < i_end) & ~jnp.all(cy.done)
+
+    fin = lax.while_loop(cond_fn, body_fn, carry)
+    return fin, _carry_result(fin, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Streaming chunked inference: resumable T3 decode, sliding-window flow,
+phase-continuous chunked vocoding (capability-ledger item; the reference's
+streaming caches are dormant, flow_matching.py:38-70 / hifigan.py:463-472)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chatterbox_tpu.pipeline.streaming import StreamConfig, stream_generate
+from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+
+from test_pipeline import TINY_S3GEN, TINY_T3
+
+
+@pytest.fixture(scope="module")
+def tts():
+    m = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+    rng = np.random.default_rng(3)
+    m.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    return m
+
+
+def test_stream_yields_incremental_chunks(tts):
+    st = StreamConfig(chunk_tokens=6, flow_ctx_tokens=12, hift_ctx_frames=8,
+                      max_new_tokens=18)
+    chunks = list(stream_generate(tts, "Streaming test sentence.", stream=st,
+                                  seed=2, min_new_tokens=17))
+    assert len(chunks) >= 2, "expected multiple chunks"
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all()
+    # every clean token contributes exactly 2 frames x 480 samples
+    assert len(total) % 960 == 0 and len(total) > 0
+
+
+def test_stream_token_budget_matches_batch(tts):
+    """Total streamed samples == the non-streaming pipeline's output length
+    for the same seed/sampling (token streams are identical by construction:
+    the decode carry holds the RNG chain)."""
+    st = StreamConfig(chunk_tokens=5, flow_ctx_tokens=1000, hift_ctx_frames=64,
+                      max_new_tokens=15)
+    kw = dict(seed=7, min_new_tokens=14)
+    chunks = list(stream_generate(tts, "Compare lengths here.", stream=st, **kw))
+    streamed = np.concatenate(chunks)
+    wavs = tts.generate_batch(["Compare lengths here."], max_new_tokens=15, **kw)
+    assert len(streamed) == len(wavs[0])
+
+
+def test_hift_chunked_sine_phase_continuity():
+    """Vocoding a mel in two pieces with f0_cum_init must reproduce the
+    one-shot waveform away from the chunk boundary (deterministic: zero
+    additive noise, fixed initial phases)."""
+    from chatterbox_tpu.models.s3gen.hifigan import HiFTConfig, hift_generate, init_hift
+
+    cfg = HiFTConfig()
+    p = init_hift(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    t = 48
+    mel = jnp.asarray(rng.standard_normal((1, t, 80)).astype(np.float32))
+    h = cfg.nb_harmonics + 1
+    phase = jnp.zeros((1, h))
+    ups = cfg.upsample_total
+
+    noise_full = jnp.zeros((1, h, t * ups))
+    full, _, f0 = hift_generate(p, cfg, mel, phase_noise=phase,
+                                additive_noise=noise_full, return_f0=True)
+
+    k, ctx = 24, 12  # second chunk starts at frame k, with ctx frames of context
+    f0 = np.asarray(f0[0])
+    cum = jnp.asarray([np.sum(f0[: k - ctx]) * ups / cfg.sampling_rate], jnp.float32)
+    noise_c = jnp.zeros((1, h, (t - k + ctx) * ups))
+    chunk, _ = hift_generate(p, cfg, mel[:, k - ctx :], phase_noise=phase,
+                             additive_noise=noise_c, f0_cum_init=cum)
+    got = np.asarray(chunk[0, ctx * ups :])
+    want = np.asarray(full[0, k * ups :])
+    # identical away from the window edge (conv receptive field); compare the
+    # inner 60% of the emitted region
+    n = len(got)
+    lo, hi = int(0.2 * n), int(0.8 * n)
+    err = np.abs(got[lo:hi] - want[lo:hi]).max()
+    ref = np.abs(want[lo:hi]).max() + 1e-6
+    assert err / ref < 0.05, (err, ref)
