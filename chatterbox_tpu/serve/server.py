@@ -69,6 +69,19 @@ def build_fastapi_app(service: TTSService):
         except (KeyError, ValueError) as e:
             raise HTTPException(400, str(e))
 
+    @app.post("/generate/stream")
+    def generate_stream(req: TTSRequest):
+        from fastapi.responses import StreamingResponse
+
+        try:
+            gen = service.generate_stream(req)
+            return StreamingResponse(
+                gen, media_type="audio/L16",
+                headers={"X-Sample-Rate": "24000", "X-Bit-Depth": "16"},
+            )
+        except KeyError as e:
+            raise HTTPException(400, str(e))
+
     @app.get("/emotions")
     def emotions():
         return service.list_emotions().model_dump()
@@ -217,6 +230,31 @@ def make_stdlib_handler(service: TTSService):
                         return self._send(200, service.generate(req).model_dump())
                     except (KeyError, ValueError) as e:
                         return self._send(400, {"error": str(e)})
+                if path == "/generate/stream":
+                    req = TTSRequest(**self._json())
+                    try:
+                        gen = service.generate_stream(req)
+                        first = next(gen, b"")
+                    except (KeyError, ValueError) as e:
+                        return self._send(400, {"error": str(e)})
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/L16")
+                    self.send_header("X-Sample-Rate", "24000")
+                    self.send_header("X-Bit-Depth", "16")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunk_out(data):
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+
+                    if first:
+                        chunk_out(first)
+                    for data in gen:
+                        chunk_out(data)
+                    self.wfile.write(b"0\r\n\r\n")
+                    return None
                 if path == "/emotions":
                     req = EmotionCreateRequest(**self._json())
                     return self._send(200, service.create_emotion(req).model_dump())

@@ -125,6 +125,38 @@ class TTSService:
             resp.audio_url = f"/outputs/{name}"
         return resp
 
+    def generate_stream(self, req: TTSRequest):
+        """Yield raw 16-bit PCM chunks while synthesis continues (chunked
+        HTTP streaming; the batch path's RTF >> 1 makes this real-time).
+        Sample rate rides the X-Sample-Rate response header."""
+        from ..pipeline.streaming import StreamConfig, stream_generate
+
+        conds = None
+        if req.emotion:
+            conds = self.voices.get_conditionals(req.emotion)
+            if conds is None:
+                raise KeyError(f"emotion profile not found or has no samples: {req.emotion}")
+        elif self.tts.conds is not None:
+            conds = self.tts.conds
+        else:
+            raise ValueError("no emotion specified and no default voice loaded")
+
+        stream = StreamConfig(max_new_tokens=req.max_new_tokens)
+        for chunk in stream_generate(
+            self.tts,
+            req.text,
+            conds=conds,
+            stream=stream,
+            repetition_penalty=req.repetition_penalty,
+            min_p=req.min_p,
+            top_p=req.top_p,
+            exaggeration=req.exaggeration,
+            cfg_weight=req.cfg_weight,
+            temperature=req.temperature,
+            seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
+        ):
+            yield (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+
     def list_emotions(self) -> EmotionListResponse:
         """Reference /emotions shape (server.py:301-312): emotions +
         total_count + distinct characters."""

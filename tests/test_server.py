@@ -198,3 +198,36 @@ def test_emotion_routes_parity(server, tmp_path):
             assert False, path
         except urllib.error.HTTPError as e:
             assert e.code == 404, path
+
+
+def test_generate_stream_chunked(server, tmp_path):
+    """POST /generate/stream returns chunked 16-bit PCM that arrives
+    incrementally (the streaming capability, pipeline/streaming.py)."""
+    rng = np.random.default_rng(21)
+    wav_path = tmp_path / "sv.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    code, _ = _req(server.port, "/voices/upload?filename=sv.wav", "POST", wav_path.read_bytes())
+    assert code == 200
+    code, _ = _req(server.port, "/emotions", "POST",
+                   {"id": "streamer", "voice_samples": ["sv.wav"]})
+    assert code == 200
+
+    body = json.dumps({"text": "Stream me please.", "emotion": "streamer",
+                       "seed": 4, "max_new_tokens": 12, "min_new_tokens": 11}).encode()
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate/stream", data=body, method="POST")
+    r.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(r, timeout=300) as resp:
+        assert resp.headers["X-Sample-Rate"] == "24000"
+        reads = []
+        while True:
+            data = resp.read(4096)
+            if not data:
+                break
+            reads.append(data)
+    pcm = b"".join(reads)
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    samples = np.frombuffer(pcm, "<i2")
+    assert np.isfinite(samples.astype(np.float32)).all()
+    # 12 tokens max -> at most 12 * 960 samples
+    assert len(samples) <= 12 * 960
