@@ -477,11 +477,17 @@ class ChatterboxTTS:
     def _apply_watermark_device(self, wav):
         """Watermark a (B, T) device array via a cached jit -- keeps the data
         on device (fusing into the synthesis graph blows up remote compile).
-        Returns int16 PCM: halves the device->host readback."""
+        Returns int16 PCM: halves the device->host readback.
+
+        Neural (Perth-checkpoint) engines have no precomputable band pattern;
+        they run their own jitted apply on the batch instead."""
+        wm = self.watermarker
+        if not hasattr(wm, "band_pattern"):
+            y = wm.apply_watermark(np.asarray(wav))
+            return jnp.round(jnp.clip(jnp.asarray(y), -1.0, 1.0) * 32767.0).astype(jnp.int16)
         key = ("wm", wav.shape)
         fn = self._jit_s3gen.get(key)
         if fn is None:
-            wm = self.watermarker
 
             @jax.jit
             def fn(w, pattern):

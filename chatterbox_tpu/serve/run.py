@@ -11,10 +11,14 @@ from .service import TTSService
 logger = logging.getLogger(__name__)
 
 EXAMPLE_PROFILES = [
-    EmotionProfile(id="neutral", name="Neutral", description="Balanced narration", exaggeration=0.5),
-    EmotionProfile(id="calm", name="Calm", description="Low-intensity delivery", exaggeration=0.3),
-    EmotionProfile(id="excited", name="Excited", description="High-energy delivery", exaggeration=0.9),
-    EmotionProfile(id="dramatic", name="Dramatic", description="Theatrical emphasis", exaggeration=1.2),
+    EmotionProfile(id="neutral", name="Neutral", character="Narrator",
+                   description="Balanced narration", exaggeration=0.5),
+    EmotionProfile(id="calm", name="Calm", character="Narrator",
+                   description="Low-intensity delivery", exaggeration=0.3),
+    EmotionProfile(id="excited", name="Excited", character="Narrator",
+                   description="High-energy delivery", exaggeration=0.9),
+    EmotionProfile(id="dramatic", name="Dramatic", character="Narrator",
+                   description="Theatrical emphasis", exaggeration=1.0),
 ]
 
 

@@ -102,3 +102,24 @@ def test_presence_api_on_speech_and_silence():
     # documented behavior: multiplicative watermark has nothing to act on in
     # near-silence; extraction must not claim presence on unmarked silence
     assert wm.get_watermark(near_silence) == 0.0
+
+
+def test_pipeline_with_perth_engine(tmp_path):
+    """The batched pipeline watermark path must work with BOTH engines
+    (spread-spectrum fuses in-graph; neural applies its own jit)."""
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+    from test_pipeline import TINY_S3GEN, TINY_T3
+
+    m = make_ref(seed=7)
+    ckpt = tmp_path / "perth.pth"
+    torch.save({"model": m.state_dict()}, ckpt)
+
+    tts = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+    tts.watermarker = PerthNetImplicit.from_checkpoint(str(ckpt))
+    rng = np.random.default_rng(5)
+    tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    wavs = tts.generate_batch(["Neural watermark test."], max_new_tokens=8, seed=1,
+                              device_chain=True)
+    assert len(wavs) == 1 and np.isfinite(wavs[0]).all() and len(wavs[0]) > 0
