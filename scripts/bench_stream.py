@@ -1,0 +1,87 @@
+"""Single-stream streaming benchmark: time-to-first-audio (TTFA) and
+streaming RTF on hardware. Prints one JSON line."""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=250)
+    ap.add_argument("--chunk-tokens", type=int, default=25)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.models.s3gen.s3gen import RefDict
+    from chatterbox_tpu.pipeline.conditionals import Conditionals, T3CondData
+    from chatterbox_tpu.pipeline.streaming import StreamConfig, stream_generate
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+    from chatterbox_tpu.runtime.precision import apply_tts_precision
+
+    def log(m):
+        print(f"[stream-bench] {m}", file=sys.stderr, flush=True)
+
+    tts = ChatterboxTTS.from_random(seed=0, synthetic=True)
+    apply_tts_precision(tts)
+    rng = np.random.default_rng(0)
+    p_len = 125
+    tts.conds = Conditionals(
+        T3CondData(
+            jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 6561, (1, 150)).astype(np.int32)),
+            jnp.full((1,), 0.5),
+        ),
+        RefDict(
+            jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
+            jnp.full((1,), p_len, jnp.int32),
+            jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+        ),
+    )
+    log("model ready")
+
+    text = "The quick brown fox jumps over the lazy dog near the river bank today."
+    st = StreamConfig(chunk_tokens=args.chunk_tokens, max_new_tokens=args.tokens)
+    kw = dict(seed=0, min_new_tokens=args.tokens - 1)
+
+    # warm-up / compile
+    t0 = time.time()
+    n = sum(len(c) for c in stream_generate(tts, text, stream=st, **kw))
+    log(f"compile+run {time.time()-t0:.1f}s ({n/24000.0:.1f}s audio)")
+
+    t0 = time.time()
+    ttfa = None
+    total = 0
+    for chunk in stream_generate(tts, text, stream=st, seed=1, min_new_tokens=args.tokens - 1):
+        if ttfa is None:
+            ttfa = time.time() - t0
+        total += len(chunk)
+    wall = time.time() - t0
+    audio_s = total / 24000.0
+    print(json.dumps({
+        "chunk_tokens": args.chunk_tokens, "tokens": args.tokens,
+        "ttfa_s": round(ttfa, 3),
+        "wall_s": round(wall, 2),
+        "audio_s": round(audio_s, 1),
+        "stream_rtf": round(wall / audio_s, 3),
+        "realtime": wall < audio_s,
+    }))
+
+
+if __name__ == "__main__":
+    main()
