@@ -208,6 +208,7 @@ class ChatterboxTTS:
     def save_native(self, out_dir):
         """Write the converted JAX params as native safetensors pytrees so
         later loads skip the torch-layout conversion (checkpoint/pytree_io)."""
+        from ..checkpoint.config_io import save_configs
         from ..checkpoint.pytree_io import save_params
 
         out = Path(out_dir)
@@ -215,6 +216,7 @@ class ChatterboxTTS:
         save_params(self.t3_params, out / "t3.jax.safetensors")
         save_params(self.s3gen_params, out / "s3gen.jax.safetensors")
         save_params(self.ve_params, out / "ve.jax.safetensors")
+        save_configs(out / "config.json", self.t3_cfg, self.s3gen_cfg, self.ve_cfg)
         if self.conds is not None:
             self.conds.save(out / "conds.safetensors")
 
@@ -228,11 +230,18 @@ class ChatterboxTTS:
         tok_path = tokenizer_json or (ckpt / "tokenizer.json")
         if Path(tok_path).exists():
             tok = EnTokenizer(str(tok_path))
+        cfg_kw = {}
+        if (ckpt / "config.json").exists():
+            from ..checkpoint.config_io import load_configs
+
+            t3c, s3c, vec = load_configs(ckpt / "config.json")
+            cfg_kw = dict(t3_cfg=t3c, s3gen_cfg=s3c, ve_cfg=vec)
         obj = cls(
             t3_params=load_params(ckpt / "t3.jax.safetensors"),
             s3gen_params=load_params(ckpt / "s3gen.jax.safetensors"),
             ve_params=load_params(ckpt / "ve.jax.safetensors"),
             tokenizer=tok,
+            **cfg_kw,
         )
         if (ckpt / "conds.safetensors").exists():
             obj.conds = Conditionals.load(ckpt / "conds.safetensors")

@@ -78,3 +78,22 @@ def test_pipeline_native_save_load(tmp_path):
     assert tts2.conds is not None
     w = tts2.generate("Hello.", max_new_tokens=6, seed=0)
     assert w.shape[0] == 1 and np.isfinite(w).all()
+
+
+def test_native_roundtrip_preserves_configs(tmp_path):
+    """save_native/from_native must reproduce non-default configs (e.g. the
+    tokenizer architecture inferred from checkpoint shapes at conversion)."""
+    import dataclasses
+
+    from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+    from test_pipeline import TINY_S3GEN, TINY_T3
+
+    odd_tok = S3TokenizerConfig(n_state=96, n_head=4, n_layer=3, fsmn_kernel=5)
+    s3 = dataclasses.replace(TINY_S3GEN, tokenizer=odd_tok)
+    tts = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=s3)
+    tts.save_native(tmp_path)
+    tts2 = ChatterboxTTS.from_native(tmp_path)
+    assert tts2.s3gen_cfg.tokenizer == odd_tok
+    assert tts2.t3_cfg == TINY_T3
+    assert tts2.s3gen_cfg == s3
