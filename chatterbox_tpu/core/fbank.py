@@ -11,7 +11,6 @@ Implemented as framing (strided slice) + fused matmuls so the whole
 conditioning path jits onto the device.
 """
 
-import math
 from functools import lru_cache
 
 import numpy as np

@@ -13,8 +13,6 @@ the pad/reshape trick; everything else is dense matmul on (B, T, C).
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

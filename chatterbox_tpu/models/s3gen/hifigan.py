@@ -12,8 +12,8 @@ TPU-first notes:
     fixed seed reproduces the reference bit pattern (SURVEY.md §7 hard part 1)
 """
 
-from dataclasses import dataclass, field
-from typing import List, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 import jax

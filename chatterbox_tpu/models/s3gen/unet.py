@@ -12,8 +12,6 @@ transformer-conv hybrid that XLA fuses well on (B, T, C).
 """
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

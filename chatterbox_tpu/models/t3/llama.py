@@ -18,8 +18,7 @@ TPU-first design:
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

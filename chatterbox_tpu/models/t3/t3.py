@@ -19,8 +19,7 @@ another BOS) -- this is the production path of `ChatterboxTTS.generate`.
 """
 
 from dataclasses import dataclass, field
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

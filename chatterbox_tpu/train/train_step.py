@@ -6,10 +6,8 @@ axis, tensor-parallel T3 weights over "model" (parallel/sharding.py), optax
 adamw state sharded like the params.
 """
 
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.t3.t3 import T3Config, t3_loss
