@@ -524,10 +524,14 @@ class ChatterboxTTS:
         return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
 
     def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig):
-        key = (b, tmax, max_new, sampling)
+        key = (b, tmax, max_new, sampling, self.mesh is None)
         fn = self._jit_t3.get(key)
         if fn is None:
             cfg = self.t3_cfg
+            # the flash-decode kernel has no shard_map wrapper yet: under a
+            # real GSPMD mesh, fall back to the XLA scan step (which GSPMD
+            # partitions natively); single-chip keeps the kernel
+            use_pallas = self.mesh is None
 
             @jax.jit
             def run(p, text, lens, spk, prompt, emo, rng):
@@ -535,7 +539,8 @@ class ChatterboxTTS:
                 t3c = self._tile_conds_in_jit(T3CondData(spk, prompt, emo), bb)
                 return t3_generate(
                     p, cfg, text, lens, t3c.speaker_emb, t3c.prompt_tokens,
-                    t3c.emotion_adv, rng, sampling, max_new
+                    t3c.emotion_adv, rng, sampling, max_new,
+                    use_pallas=use_pallas,
                 )
 
             fn = run
@@ -545,10 +550,16 @@ class ChatterboxTTS:
     def _run_s3gen(self, speech, speech_lens, ref: RefDict, b: int, seed: int):
         p_len = ref.prompt_token.shape[1]
         tbucket = speech.shape[1]
-        key = (b, p_len, tbucket)
+        key = (b, p_len, tbucket, self.mesh is None)
         fn = self._jit_s3gen.get(key)
         if fn is None:
             cfg = self.s3gen_cfg
+            # flash attention lacks a shard_map wrapper; meshed runs take the
+            # XLA attention path (GSPMD-partitionable). The module flag is
+            # read at trace time -- the first call below traces immediately.
+            from ..models.s3gen import unet as unet_mod
+
+            unet_mod.FLASH_ATTENTION = self.mesh is None
 
             @jax.jit
             def run(p, tokens, lens, ref, noise, rng):

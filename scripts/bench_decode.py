@@ -84,7 +84,7 @@ def main():
     per_step_ms = 1000.0 * min(times) / steps
     print(json.dumps({
         "impl": impl, "unroll": unroll, "pallas": pallas, "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
-        "cache_len": 34 + tmax + 2 + args.tokens,
+        "cache_len": -(-(34 + tmax + 2 + args.tokens) // 128) * 128,
         "compile_s": round(compile_s, 1),
         "run_s": [round(t, 2) for t in times],
         "per_step_ms": round(per_step_ms, 2),
