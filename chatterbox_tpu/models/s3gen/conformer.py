@@ -60,11 +60,17 @@ def rel_pos_encoding(x: jnp.ndarray, d_model: int):
 
 
 def _rel_shift_bd(bd: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, T, 2T-1) -> (B, H, T, T): out[t, s] = bd[t, T-1 - t + s]
-    (equivalent to the reference pad/reshape trick, attention.py:225-247)."""
-    t = bd.shape[2]
-    idx = (np.arange(t)[None, :] - np.arange(t)[:, None]) + t - 1  # (T, T)
-    return jnp.take_along_axis(bd, jnp.asarray(idx)[None, None], axis=-1)
+    """(B, H, T, 2T-1) -> (B, H, T, T): out[t, s] = bd[t, T-1 - t + s],
+    via the reference pad/reshape trick (attention.py:225-247).
+
+    Implemented as pad+reshape+slice rather than a take_along_axis gather:
+    the axon backend's TPU runtime faults on the (B, H, T, 2T-1) gather at
+    some lengths (measured: worker crash at T=150/300, fine at 375/750)."""
+    b, h, t, _ = bd.shape
+    padded = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (B, H, T, 2T)
+    padded = padded.reshape(b, h, 2 * t, t)
+    rows = padded[:, :, 1:].reshape(b, h, t, 2 * t - 1)
+    return rows[..., :t]
 
 
 def rel_pos_attention(p, x, pos_emb, n_heads, key_mask=None):
