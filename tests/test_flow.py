@@ -168,3 +168,19 @@ def test_flow_batch_padding_invariance(ref_flow):
     np.testing.assert_allclose(
         np.asarray(mel1)[0], np.asarray(mel2)[0, :valid], atol=1e-3, rtol=1e-3
     )
+
+
+def test_rel_shift_pad_reshape_equals_gather():
+    """The pad/reshape rel-shift must equal the gather formulation exactly
+    (the gather form crashes the axon TPU runtime at some lengths; the
+    conformer golden tests pin the semantics, this pins the equivalence)."""
+    import numpy as np
+
+    from chatterbox_tpu.models.s3gen.conformer import _rel_shift_bd
+
+    rng = np.random.default_rng(0)
+    for t in (3, 37, 150):
+        bd = jnp.asarray(rng.standard_normal((2, 4, t, 2 * t - 1)).astype(np.float32))
+        idx = (np.arange(t)[None, :] - np.arange(t)[:, None]) + t - 1
+        ref = np.take_along_axis(np.asarray(bd), idx[None, None], axis=-1)
+        np.testing.assert_array_equal(np.asarray(_rel_shift_bd(bd)), ref)
