@@ -122,14 +122,16 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                 o_ref[rr, hh] = (acc_scr[rr, hh] / l_scr[rr, hh]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell")
+)
 def flash_decode_layer_attention(
     cache, layer_idx, cur_len, row_prefix, gap_end, q, k_new, v_new,
-    interpret: bool = False,
+    interpret: bool = False, s_block: int = S_BLOCK, rows_per_cell=None,
 ):
     """Decode attention for one layer against the full multi-layer cache.
 
-    cache (L, 2, B, H, S, D) in HBM (any float dtype), S % 128 == 0;
+    cache (L, 2, B, H, S, D) in HBM (any float dtype), S % s_block == 0;
     layer_idx, cur_len scalars int32 (cur_len = 1 + max valid slot; S blocks
     past it are neither DMA'd nor computed); row_prefix (B,) int32 and
     gap_end scalar int32 define validity: slot i of row b is attended iff
@@ -139,20 +141,25 @@ def flash_decode_layer_attention(
     [cache V; v_new], in q.dtype.
     """
     _, _, b, h, s, d = cache.shape
-    assert s % S_BLOCK == 0, (s, S_BLOCK)
+    s_blk = int(s_block)
+    assert s % s_blk == 0 and s_blk % 8 == 0, (s, s_blk)
     # rows per grid cell: amortizes grid-step overhead (measured ~45% of
-    # kernel time at one row per cell); VMEM = b_blk * 512 KB * 2 * 2
-    b_blk = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
-    grid = (b // b_blk, s // S_BLOCK)
+    # kernel time at one row per cell); VMEM = b_blk * s_blk * h * d * 2B * 2
+    if rows_per_cell is not None:
+        b_blk = int(rows_per_cell)
+        assert b % b_blk == 0, (b, b_blk)
+    else:
+        b_blk = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    grid = (b // b_blk, s // s_blk)
 
-    # absolute slot indices, pre-tiled (n_s, 8, S_BLOCK) so the kernel's
+    # absolute slot indices, pre-tiled (n_s, 8, s_blk) so the kernel's
     # block read is fully static/aligned (row 0 of each 8-row tile is used)
     positions = jnp.tile(
-        jnp.arange(s, dtype=jnp.int32).reshape(s // S_BLOCK, 1, S_BLOCK), (1, 8, 1)
+        jnp.arange(s, dtype=jnp.int32).reshape(s // s_blk, 1, s_blk), (1, 8, 1)
     )
 
-    n_live = (cur_len + S_BLOCK - 1) // S_BLOCK
-    n_live = jnp.clip(n_live, 1, s // S_BLOCK).astype(jnp.int32)
+    n_live = (cur_len + s_blk - 1) // s_blk
+    n_live = jnp.clip(n_live, 1, s // s_blk).astype(jnp.int32)
     scalars = jnp.stack(
         [
             jnp.asarray(layer_idx, jnp.int32),
@@ -175,12 +182,12 @@ def flash_decode_layer_attention(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, b_blk, h, S_BLOCK, d), kc_map),
-            pl.BlockSpec((1, 1, b_blk, h, S_BLOCK, d), vc_map),
+            pl.BlockSpec((1, 1, b_blk, h, s_blk, d), kc_map),
+            pl.BlockSpec((1, 1, b_blk, h, s_blk, d), vc_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
-            pl.BlockSpec((1, 8, S_BLOCK), lambda bi, si, lr, pr: (si, 0, 0)),
+            pl.BlockSpec((1, 8, s_blk), lambda bi, si, lr, pr: (si, 0, 0)),
         ],
         out_specs=pl.BlockSpec((b_blk, h, 1, d), row_map),
         scratch_shapes=[
