@@ -95,6 +95,11 @@ class ChatterboxTTS:
     ve_cfg: VoiceEncoderConfig = field(default_factory=VoiceEncoderConfig)
     conds: Optional[Conditionals] = None
     sr: int = S3GEN_SR
+    # largest per-dispatch batch: T3 runs 2x rows (CFG) with a bf16 KV cache
+    # (L=30, 2, 2b, H=16, S<=1024, D=64); b=32 is the largest power of two
+    # whose decode graph fits one v5e chip's 16 GB HBM at the 512-slot
+    # bucket. Bigger requests are chunked through the pipelined path.
+    max_device_batch: int = 32
 
     ENC_COND_LEN = 6 * S3_SR  # tts.py:107
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
@@ -385,6 +390,24 @@ class ChatterboxTTS:
             conds = conds.with_exaggeration(exaggeration)
 
         b = len(texts)
+        if b > self.max_device_batch:
+            # chunk through the pipelined path: each chunk's decode graph
+            # fits HBM; chip work stays saturated via async dispatch
+            assert not defer_collect, "defer_collect requires b <= max_device_batch"
+            rows = self.generate_batches_pipelined(
+                [texts[i : i + self.max_device_batch] for i in range(0, b, self.max_device_batch)],
+                conds=conds,
+                repetition_penalty=repetition_penalty,
+                min_p=min_p,
+                top_p=top_p,
+                exaggeration=exaggeration,
+                cfg_weight=cfg_weight,
+                temperature=temperature,
+                seed=seed,
+                max_new_tokens=max_new_tokens,
+                min_new_tokens=min_new_tokens,
+            )
+            return [w for chunk in rows for w in chunk]
         tok_rows = [self._encode_text(t) for t in texts]
         lens = np.array([len(r) for r in tok_rows], np.int32)
         tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
@@ -467,20 +490,30 @@ class ChatterboxTTS:
 
     def generate_batches_pipelined(self, batches: List[List[str]], **kw) -> List[List[np.ndarray]]:
         """Generate several batches, overlapping each batch's host collection
-        with the next batch's device dispatch (jax async dispatch)."""
+        with the next batch's device dispatch (jax async dispatch).
+
+        Batches larger than ``max_device_batch`` are split into sub-batches
+        (each decode graph must fit HBM) and their outputs re-joined."""
         base_seed = kw.pop("seed", 0)
-        handles = []
-        out = []
+        cap = self.max_device_batch
+        chunks = []  # (orig batch index, texts)
         for i, texts in enumerate(batches):
+            for j in range(0, len(texts), cap):
+                chunks.append((i, texts[j : j + cap]))
+        handles = []  # (orig batch index, handle)
+        out = [[] for _ in batches]
+        for c, (i, texts) in enumerate(chunks):
             handles.append(
-                self.generate_batch(
-                    texts, seed=base_seed + i, device_chain=True, defer_collect=True, **kw
-                )
+                (i, self.generate_batch(
+                    texts, seed=base_seed + c, device_chain=True, defer_collect=True, **kw
+                ))
             )
             if len(handles) > 1:
-                out.append(self.collect(handles.pop(0)))
+                oi, h = handles.pop(0)
+                out[oi].extend(self.collect(h))
         while handles:
-            out.append(self.collect(handles.pop(0)))
+            oi, h = handles.pop(0)
+            out[oi].extend(self.collect(h))
         return out
 
     def _apply_watermark_device(self, wav):

@@ -194,3 +194,29 @@ def test_pipelined_batches_match_sequential(tts):
     for a_batch, b_batch in zip(seq, piped):
         for a, b in zip(a_batch, b_batch):
             np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_oversized_batch_chunks_through_pipeline(tts):
+    """Batches above max_device_batch split into HBM-sized chunks (the b64
+    bench config: one decode graph per chunk) and re-join in order."""
+    if tts.conds is None:
+        rng = np.random.default_rng(12)
+        tts.prepare_conditionals((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    texts = [f"Chunk test sentence {i}." for i in range(5)]
+    old_cap = tts.max_device_batch
+    try:
+        tts.max_device_batch = 2
+        got = tts.generate_batch(texts, max_new_tokens=12, seed=7)
+        # equivalent sequential per-chunk runs (chunk c uses seed base+c)
+        ref = []
+        for c, j in enumerate(range(0, 5, 2)):
+            ref.extend(
+                tts.generate_batch(
+                    texts[j : j + 2], max_new_tokens=12, seed=7 + c, device_chain=True
+                )
+            )
+    finally:
+        tts.max_device_batch = old_cap
+    assert len(got) == 5
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, atol=1e-4)
