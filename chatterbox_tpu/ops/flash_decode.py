@@ -51,7 +51,7 @@ S_BLOCK = 128  # cache S tiling; DMA run per (h) = 16 KB bf16
 
 
 def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
-            pos_ref, o_ref, m_scr, l_scr, acc_scr):
+            pos_ref, o_ref, m_scr, l_scr, acc_scr, ds_layout=False):
     b_i = pl.program_id(0)
     s_i = pl.program_id(1)
     n_s = pl.num_programs(1)
@@ -89,22 +89,29 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
             valid = (pos < rp) | ((pos >= gap_end) & (pos < cur_len))
             bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
             for hh in range(h):
-                k_h = kc_ref[0, 0, rr, hh]  # (Sb, D) cache dtype
+                k_h = kc_ref[0, 0, rr, hh]  # (Sb, D) or (D, Sb) cache dtype
                 v_h = vc_ref[0, 0, rr, hh]
                 q_h = q_ref[rr, hh].astype(k_h.dtype)  # (1, D)
-                scores = (
-                    lax.dot_general(
+                if ds_layout:
+                    # (D, S) cache tiles: S rides the 128-lane axis with no
+                    # tile padding (D=64 lanes pad 2x). QK^T is a standard
+                    # (1,D)@(D,Sb) matmul; PV contracts both lane dims.
+                    qk = lax.dot_general(
+                        q_h, k_h, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, Sb)
+                else:
+                    qk = lax.dot_general(
                         q_h, k_h, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (1, Sb): QK^T as a transpose-rhs matmul, no relayout
-                    * scale
-                    + bias
-                )
+                scores = qk * scale + bias
                 m_blk = jnp.max(scores, axis=1, keepdims=True)  # (1, 1)
                 p = jnp.exp(scores - m_blk)  # (1, Sb)
                 l_blk = jnp.sum(p, axis=1, keepdims=True)  # (1, 1)
                 pv = lax.dot_general(
-                    p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                    p.astype(v_h.dtype), v_h,
+                    (((1,), (1,)), ((), ())) if ds_layout else (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (1, D)
                 m_prev = m_scr[rr, hh]  # (1, D) broadcast stats
@@ -123,15 +130,19 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell")
+    jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell", "ds_layout")
 )
 def flash_decode_layer_attention(
     cache, layer_idx, cur_len, row_prefix, gap_end, q, k_new, v_new,
     interpret: bool = False, s_block: int = S_BLOCK, rows_per_cell=None,
+    ds_layout: bool = False,
 ):
     """Decode attention for one layer against the full multi-layer cache.
 
-    cache (L, 2, B, H, S, D) in HBM (any float dtype), S % s_block == 0;
+    cache (L, 2, B, H, S, D) in HBM (any float dtype), S % s_block == 0 --
+    or (L, 2, B, H, D, S) with ``ds_layout=True``, which puts S on the
+    128-lane axis so the HBM array has NO tile padding (the (S, D) layout
+    pads D 64->128: 2x memory and read bandwidth);
     layer_idx, cur_len scalars int32 (cur_len = 1 + max valid slot; S blocks
     past it are neither DMA'd nor computed); row_prefix (B,) int32 and
     gap_end scalar int32 define validity: slot i of row b is attended iff
@@ -140,7 +151,10 @@ def flash_decode_layer_attention(
     Returns (B, H, D) = softmax([valid cache logits; self logit]) @
     [cache V; v_new], in q.dtype.
     """
-    _, _, b, h, s, d = cache.shape
+    if ds_layout:
+        _, _, b, h, d, s = cache.shape
+    else:
+        _, _, b, h, s, d = cache.shape
     s_blk = int(s_block)
     assert s % s_blk == 0 and s_blk % 8 == 0, (s, s_blk)
     # rows per grid cell: amortizes grid-step overhead (measured ~45% of
@@ -178,12 +192,24 @@ def flash_decode_layer_attention(
     def row_map(bi, si, lr, pr):
         return (bi, 0, 0, 0)
 
+    if ds_layout:
+        cache_block = (1, 1, b_blk, h, d, s_blk)
+
+        def kc_map(bi, si, lr, pr):  # noqa: F811 -- (D, S) minor dims
+            return (lr[0], 0, bi, 0, 0, jnp.minimum(si, lr[1] - 1))
+
+        def vc_map(bi, si, lr, pr):  # noqa: F811
+            return (lr[0], 1, bi, 0, 0, jnp.minimum(si, lr[1] - 1))
+
+    else:
+        cache_block = (1, 1, b_blk, h, s_blk, d)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, b_blk, h, s_blk, d), kc_map),
-            pl.BlockSpec((1, 1, b_blk, h, s_blk, d), vc_map),
+            pl.BlockSpec(cache_block, kc_map),
+            pl.BlockSpec(cache_block, vc_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
             pl.BlockSpec((b_blk, h, 1, d), row_map),
@@ -197,7 +223,7 @@ def flash_decode_layer_attention(
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, ds_layout=ds_layout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         interpret=interpret,

@@ -57,6 +57,33 @@ def test_flash_decode_layer_matches_xla(dtype, layer):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_decode_ds_layout_matches_sd(dtype):
+    """(L,2,B,H,D,S) transposed-cache variant == the (S,D) kernel (the DS
+    layout keeps S on the 128-lane axis: no tile padding in HBM)."""
+    rng = np.random.default_rng(3)
+    l, b, h, s, d = 3, 4, 4, 256, 64
+    cache = jnp.asarray(rng.standard_normal((l, 2, b, h, s, d)), dtype)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    kn = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    vn = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    prefix = np.array([30, 256, 1, 64], np.int32)
+    cur, gap_end = 200, 180
+    base = flash_decode_layer_attention(
+        cache, jnp.int32(1), jnp.int32(cur), jnp.asarray(prefix),
+        jnp.int32(gap_end), q, kn, vn, interpret=True,
+    )
+    got = flash_decode_layer_attention(
+        jnp.swapaxes(cache, -1, -2), jnp.int32(1), jnp.int32(cur),
+        jnp.asarray(prefix), jnp.int32(gap_end), q, kn, vn,
+        interpret=True, ds_layout=True,
+    )
+    atol = 1e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(base, np.float32), atol=atol
+    )
+
+
 def test_flash_decode_gap_and_truncation():
     """T3-shaped validity (interior text-padding gap) + runtime truncation:
     dead blocks may hold garbage (even non-finite) without leaking."""
