@@ -217,11 +217,17 @@ def llama_prefill(
     positions: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray],
     cache_len: int,
+    ds_layout: bool = False,
 ):
     """Full-sequence causal forward, writing a fresh KV cache of size cache_len.
 
     inputs_embeds (B, T, C); positions (B, T) int32; attn_mask (B, T) bool
     (True = real token) or None. Returns (hidden (B,T,C), cache (L,2,B,Hkv,S,D)).
+
+    ``ds_layout=True`` emits the cache as (L,2,B,Hkv,D,S) instead: S rides
+    the 128-lane axis so the HBM array carries NO tile padding (the (S,D)
+    layout pads D=64 to 128 lanes -- 2x memory and read bandwidth). Only the
+    Pallas flash-decode step consumes this layout (ops/flash_decode.py).
     """
     b, t, c = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
@@ -241,7 +247,11 @@ def llama_prefill(
     # write into the fixed-size cache; layout (L, 2, B, H, S, D) is exactly
     # what the decode-step layer scan consumes -- no per-step transposes
     pad = cache_len - t
-    cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    if ds_layout:
+        kvs = kvs.transpose(0, 1, 2, 3, 5, 4)  # (L, 2, B, H, D, T)
+        cache = jnp.pad(kvs, ((0, 0),) * 5 + ((0, pad),))
+    else:
+        cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     return hidden, cache
 
 
@@ -256,6 +266,7 @@ def llama_decode_step(
     collect_attn_layer: Optional[int] = None,
     unroll: int = 1,
     pallas_valid: Optional[tuple] = None,
+    ds_layout: bool = False,
 ):
     """One-token incremental forward (scan-over-layers, read-only cache).
 
@@ -277,7 +288,7 @@ def llama_decode_step(
     10.3 ms vs 4.1 ms unrolled at 16 CFG rows).
     """
     cos, sin = rope_cos_sin(cfg, positions)
-    s = cache.shape[-2]
+    s = cache.shape[-1] if ds_layout else cache.shape[-2]
     neg = jnp.finfo(jnp.float32).min
     # cache slots valid BEFORE this token; the write slot is stale -> mask off
     cache_mask = attn_len_mask & (jnp.arange(s)[None] != cache_pos)
@@ -305,6 +316,7 @@ def llama_decode_step(
                 cache, lid, cache_pos, row_prefix, gap_end,
                 q[:, :, 0], k[:, :, 0], v[:, :, 0],
                 interpret=jax.default_backend() == "cpu",
+                ds_layout=ds_layout,
             )  # (B, H, D)
             a = a4.reshape(xx.shape[0], 1, h_heads * d)
             attn_mean = None
@@ -342,6 +354,9 @@ def llama_decode_step(
     assert n_layers % unroll == 0, (n_layers, unroll)
     groups = n_layers // unroll
     pallas_mode = pallas_valid is not None and collect_attn_layer is None
+    assert not (ds_layout and not pallas_mode), (
+        "the (D, S) cache layout is only consumed by the Pallas decode path"
+    )
 
     grouped_params = jax.tree.map(
         lambda w: w.reshape((groups, unroll) + w.shape[1:]), params["layers"]
@@ -377,7 +392,11 @@ def llama_decode_step(
         x, (new_kvs, attns) = lax.scan(body, x, (grouped_params, grouped_cache))
     # single tiny write: all layers' new K/V at cache_pos
     new_kvs = new_kvs.reshape((n_layers,) + new_kvs.shape[2:])
-    new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, cache_pos, 0))
+    if ds_layout:
+        new_kvs = new_kvs.transpose(0, 1, 2, 3, 5, 4)  # (L, 2, B, H, D, 1)
+        new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, 0, cache_pos))
+    else:
+        new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, cache_pos, 0))
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
     attn = None
     if collect_attn_layer is not None:

@@ -195,11 +195,19 @@ class GenResult(NamedTuple):
     steps: jnp.ndarray  # scalar: decode iterations executed
 
 
+def _ds_cache(use_pallas: bool, decode_impl: str, alignment: bool) -> bool:
+    """Whether the KV cache uses the pad-free (L,2,B,H,D,S) layout: only the
+    Pallas flash-decode path consumes it (the XLA fallbacks read (..., S, D)).
+    t3_generate/t3_generate_start/t3_generate_resume must agree on these
+    flags -- the carry's cache layout is fixed at prefill."""
+    return use_pallas and decode_impl != "unroll" and not alignment
+
+
 class GenCarry(NamedTuple):
     """Decode-loop state; also the resumable handle for chunked/streaming
     generation (t3_generate_resume). All shapes static, device-resident."""
 
-    cache: jnp.ndarray  # (L, 2, 2B, Hkv, S, D)
+    cache: jnp.ndarray  # (L, 2, 2B, Hkv, S, D) -- or (..., D, S), see _ds_cache
     valid: jnp.ndarray  # (2B, S)
     tokens: jnp.ndarray  # (B, max_new)
     seen: jnp.ndarray  # (B, vocab)
@@ -307,6 +315,7 @@ def _make_decode_body(
                 collect_attn_layer=cfg.alignment_layer if alignment else None,
                 unroll=scan_unroll,
                 pallas_valid=(row_prefix, gap_end) if use_pallas else None,
+                ds_layout=_ds_cache(use_pallas, decode_impl, alignment),
             )
         logits = linear(p["speech_head"], h[:, 0])
         attn_text = (
@@ -356,7 +365,8 @@ def t3_generate(
     # runtime: the kernel truncates to live blocks each step)
     cache_len = -(-(s0 + max_new_tokens) // 128) * 128
     hidden, cache = llama_prefill(
-        p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len
+        p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len,
+        ds_layout=_ds_cache(use_pallas, decode_impl, alignment),
     )
     # logits at the last prefill position
     last_h = hidden[jnp.arange(hidden.shape[0]), pre.last_idx]  # (2B, C)
