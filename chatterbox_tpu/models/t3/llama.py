@@ -248,10 +248,20 @@ def llama_prefill(
     # what the decode-step layer scan consumes -- no per-step transposes
     pad = cache_len - t
     if ds_layout:
+        from ...ops.flash_decode import TAIL_W
+
+        # (D, S) main cache + SD tail holding the trailing partial W-group
+        # (slots [mb0, t); the flash kernel reads slots >= merge_base from
+        # the tail; see flash_decode_layer_attention)
+        mb0 = (t // TAIL_W) * TAIL_W
+        tail = jnp.pad(
+            kvs[:, :, :, :, mb0:, :],
+            ((0, 0),) * 4 + ((0, TAIL_W - (t - mb0)), (0, 0)),
+        )
         kvs = kvs.transpose(0, 1, 2, 3, 5, 4)  # (L, 2, B, H, D, T)
         cache = jnp.pad(kvs, ((0, 0),) * 5 + ((0, pad),))
-    else:
-        cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        return hidden, (cache, tail)
+    cache = jnp.pad(kvs, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     return hidden, cache
 
 
@@ -288,6 +298,14 @@ def llama_decode_step(
     10.3 ms vs 4.1 ms unrolled at 16 CFG rows).
     """
     cos, sin = rope_cos_sin(cfg, positions)
+    tail = None
+    merge_base = None
+    if ds_layout:
+        from ...ops.flash_decode import flash_cache_merge_ds
+
+        cache, tail = cache  # (L,2,B,H,D,S) main + (L,2,B,H,W,D) SD tail
+        tail_w = tail.shape[4]
+        merge_base = (cache_pos // tail_w) * tail_w
     s = cache.shape[-1] if ds_layout else cache.shape[-2]
     neg = jnp.finfo(jnp.float32).min
     # cache slots valid BEFORE this token; the write slot is stale -> mask off
@@ -315,6 +333,7 @@ def llama_decode_step(
             a4 = flash_decode_layer_attention(
                 cache, lid, cache_pos, row_prefix, gap_end,
                 q[:, :, 0], k[:, :, 0], v[:, :, 0],
+                tail=tail, merge_base=merge_base,
                 interpret=jax.default_backend() == "cpu",
                 ds_layout=ds_layout,
             )  # (B, H, D)
@@ -393,8 +412,24 @@ def llama_decode_step(
     # single tiny write: all layers' new K/V at cache_pos
     new_kvs = new_kvs.reshape((n_layers,) + new_kvs.shape[2:])
     if ds_layout:
-        new_kvs = new_kvs.transpose(0, 1, 2, 3, 5, 4)  # (L, 2, B, H, D, 1)
-        new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, 0, cache_pos))
+        # append to the SD tail (cheap in-place sublane update); every W-th
+        # token, merge the now-full tail into the (D, S) cache as one
+        # W-column RMW (a per-step lane-offset write is a full cache copy
+        # in XLA -- measured in scripts/probe_cache_write*.py)
+        new_tail = lax.dynamic_update_slice(
+            tail, new_kvs, (0, 0, 0, 0, cache_pos % tail_w, 0)
+        )
+
+        def _merge(c):
+            cols = new_tail.transpose(0, 1, 2, 3, 5, 4)  # (L,2,B,H,D,W)
+            return flash_cache_merge_ds(
+                c, cols, merge_base, interpret=jax.default_backend() == "cpu"
+            )
+
+        new_cache = lax.cond(
+            (cache_pos + 1) % tail_w == 0, _merge, lambda c: c, cache
+        )
+        new_cache = (new_cache, new_tail)
     else:
         new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, cache_pos, 0))
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)

@@ -48,14 +48,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 S_BLOCK = 128  # cache S tiling; DMA run per (h) = 16 KB bf16
+TAIL_W = 8  # SD-tail length: tokens buffered between (D,S)-cache merges
 
 
 def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
-            pos_ref, o_ref, m_scr, l_scr, acc_scr, ds_layout=False):
+            *rest, ds_layout=False, tail_w=0):
+    if tail_w:
+        tk_ref, tv_ref, pos_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        pos_ref, o_ref, m_scr, l_scr, acc_scr = rest
     b_i = pl.program_id(0)
     s_i = pl.program_id(1)
     n_s = pl.num_programs(1)
     n_live, cur_len, gap_end = scal_ref[1], scal_ref[2], scal_ref[3]
+    # cache slots >= ds_end live in the tail operand, not the (D, S) cache
+    ds_end = scal_ref[4] if tail_w else cur_len
     b_blk, h, d = q_ref.shape[0], q_ref.shape[1], q_ref.shape[3]
     scale = 1.0 / np.sqrt(d)
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
@@ -77,6 +84,38 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                 m_scr[rr, hh] = zero + m0
                 l_scr[rr, hh] = zero + 1.0
                 acc_scr[rr, hh] = vn_ref[rr, hh].astype(jnp.float32)  # (1, D)
+        if tail_w:
+            # fold the SD-layout tail (last <=W tokens, not yet merged into
+            # the (D,S) cache) into the running stats -- same row-form math
+            # as an SD cache block, W lanes wide
+            wpos = ds_end + lax.broadcasted_iota(jnp.int32, (1, tail_w), 1)
+            for rr in range(b_blk):
+                rp = prefix_ref[b_i * b_blk + rr]
+                valid = (wpos < rp) | ((wpos >= gap_end) & (wpos < cur_len))
+                bias = jnp.where(valid, 0.0, neg)  # (1, W)
+                for hh in range(h):
+                    kt_h = tk_ref[0, 0, rr, hh]  # (W, D)
+                    vt_h = tv_ref[0, 0, rr, hh]
+                    q_h = q_ref[rr, hh].astype(kt_h.dtype)
+                    qk = lax.dot_general(
+                        q_h, kt_h, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, W)
+                    scores = qk * scale + bias
+                    m_blk = jnp.max(scores, axis=1, keepdims=True)
+                    p = jnp.exp(scores - m_blk)
+                    l_blk = jnp.sum(p, axis=1, keepdims=True)
+                    pv = lax.dot_general(
+                        p.astype(vt_h.dtype), vt_h, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, D)
+                    m_prev = m_scr[rr, hh]
+                    m_new = jnp.maximum(m_prev, zero + m_blk)
+                    alpha = jnp.exp(m_prev - m_new)
+                    beta = jnp.exp((zero + m_blk) - m_new)
+                    m_scr[rr, hh] = m_new
+                    l_scr[rr, hh] = l_scr[rr, hh] * alpha + l_blk * beta
+                    acc_scr[rr, hh] = acc_scr[rr, hh] * alpha + pv * beta
 
     @pl.when(s_i < n_live)
     def _accumulate():
@@ -86,7 +125,7 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
         zero = jnp.zeros((1, d), jnp.float32)
         for rr in range(b_blk):  # static unroll: row-form 2-D ops only
             rp = prefix_ref[b_i * b_blk + rr]
-            valid = (pos < rp) | ((pos >= gap_end) & (pos < cur_len))
+            valid = ((pos < rp) | ((pos >= gap_end) & (pos < cur_len))) & (pos < ds_end)
             bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
             for hh in range(h):
                 k_h = kc_ref[0, 0, rr, hh]  # (Sb, D) or (D, Sb) cache dtype
@@ -129,11 +168,95 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                 o_ref[rr, hh] = (acc_scr[rr, hh] / l_scr[rr, hh]).astype(o_ref.dtype)
 
 
+def _merge_kernel(scal_ref, c_ref, n_ref, o_ref):
+    """Masked read-modify-write of W lane columns of the (D, S) cache:
+    o[:, off + j] = new[:, j] for j < W, o elsewhere = old. The column
+    placement is a one-hot (W, Sb) matmul (exact: one term per output
+    column); masks/selects are (1, Sb) row-form -- Mosaic-portable."""
+    off = scal_ref[1]
+    b_blk, h = c_ref.shape[2], c_ref.shape[3]
+    s_b = c_ref.shape[-1]
+    w = n_ref.shape[-1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, s_b), 1)
+    mask = (lane >= off) & (lane < off + w)  # (1, Sb)
+    col = lax.broadcasted_iota(jnp.int32, (w, s_b), 1)
+    row = lax.broadcasted_iota(jnp.int32, (w, s_b), 0)
+    sel = (col == row + off).astype(jnp.float32)  # (W, Sb) one-hot
+    for rr in range(b_blk):
+        for hh in range(h):
+            old = c_ref[0, 0, rr, hh]  # (D, Sb)
+            new = n_ref[0, 0, rr, hh].astype(jnp.float32)  # (D, W)
+            scat = lax.dot_general(
+                new, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(old.dtype)  # (D, Sb)
+            o_ref[0, 0, rr, hh] = jnp.where(mask, scat, old)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell"))
+def flash_cache_merge_ds(cache, new_cols, pos, interpret: bool = False,
+                         s_block: int = S_BLOCK, rows_per_cell=8):
+    """Merge W consecutive K/V columns into the (L, 2, B, H, D, S) cache at
+    slots [pos, pos+W) IN PLACE (the cache operand is aliased to the output).
+
+    XLA's ``dynamic_update_slice`` at a dynamic LANE offset is not done in
+    place inside a while_loop on this backend -- it materializes a full cache
+    copy per call (measured: +3.4 ms at 16 CFG rows). This kernel RMWs only
+    the (D, s_block) tile column containing the slots; amortized over W
+    decode steps (the tail design, see flash_decode_layer_attention) the
+    write cost is ~cache_bytes / (S/s_block) / W per token.
+
+    cache (L,2,B,H,D,S); new_cols (L,2,B,H,D,W) with W <= s_block and
+    [pos, pos+W) within one s_block (guaranteed when W | pos); pos int32.
+    """
+    if interpret:
+        # interpret mode does not model aliasing: grid cells only write the
+        # one touched S-block, so the rest of the output would be undefined.
+        # The XLA update is numerically identical (and fine on CPU).
+        return lax.dynamic_update_slice(
+            cache, new_cols.astype(cache.dtype), (0, 0, 0, 0, 0, pos)
+        )
+    l, two, b, h, d, s = cache.shape
+    s_blk = int(s_block)
+    b_blk = int(rows_per_cell)
+    while b % b_blk:
+        b_blk //= 2
+    scalars = jnp.stack(
+        [jnp.asarray(pos // s_blk, jnp.int32), jnp.asarray(pos % s_blk, jnp.int32)]
+    )
+    grid = (l, two, b // b_blk)
+
+    def c_map(li, ki, bi, sc):
+        return (li, ki, bi, 0, 0, sc[0])
+
+    def n_map(li, ki, bi, sc):
+        return (li, ki, bi, 0, 0, 0)
+
+    w = new_cols.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, b_blk, h, d, s_blk), c_map),
+            pl.BlockSpec((1, 1, b_blk, h, d, w), n_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, b_blk, h, d, s_blk), c_map),
+    )
+    return pl.pallas_call(
+        _merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={1: 0},  # cache operand (after the scalar) -> out
+        interpret=interpret,
+    )(scalars, cache, new_cols.astype(cache.dtype))
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell", "ds_layout")
 )
 def flash_decode_layer_attention(
     cache, layer_idx, cur_len, row_prefix, gap_end, q, k_new, v_new,
+    tail=None, merge_base=None,
     interpret: bool = False, s_block: int = S_BLOCK, rows_per_cell=None,
     ds_layout: bool = False,
 ):
@@ -150,6 +273,15 @@ def flash_decode_layer_attention(
     pass gap_end == cur_len). q / k_new / v_new (B, H, D) = current token.
     Returns (B, H, D) = softmax([valid cache logits; self logit]) @
     [cache V; v_new], in q.dtype.
+
+    ``tail`` (L, 2, B, H, W, D) + ``merge_base`` (scalar int32, multiple of
+    W): the last few tokens' K/V in SD layout (ds_layout only). Cache slots
+    >= merge_base are read from the tail (slot merge_base + w) instead of
+    the (D, S) cache; the caller appends each token to the tail with a cheap
+    sublane-offset update and merges W columns at once into the (D, S) cache
+    via ``flash_cache_merge_ds`` -- a per-step LANE-offset cache write is
+    either a full XLA cache copy or a (D, 128)-column RMW, both measured
+    slower than this split (scripts/probe_cache_write*.py).
     """
     if ds_layout:
         _, _, b, h, d, s = cache.shape
@@ -157,6 +289,8 @@ def flash_decode_layer_attention(
         _, _, b, h, s, d = cache.shape
     s_blk = int(s_block)
     assert s % s_blk == 0 and s_blk % 8 == 0, (s, s_blk)
+    assert tail is None or ds_layout, "the SD tail only pairs with the (D,S) cache"
+    tail_w = 0 if tail is None else int(tail.shape[4])
     # rows per grid cell: amortizes grid-step overhead (measured ~45% of
     # kernel time at one row per cell); VMEM = b_blk * s_blk * h * d * 2B * 2
     if rows_per_cell is not None:
@@ -172,7 +306,10 @@ def flash_decode_layer_attention(
         jnp.arange(s, dtype=jnp.int32).reshape(s // s_blk, 1, s_blk), (1, 8, 1)
     )
 
-    n_live = (cur_len + s_blk - 1) // s_blk
+    # live S-blocks: everything the kernel must read from the (D,S)/(S,D)
+    # cache -- with a tail, slots >= merge_base come from the tail instead
+    ds_end = cur_len if tail is None else merge_base
+    n_live = (ds_end + s_blk - 1) // s_blk
     n_live = jnp.clip(n_live, 1, s // s_blk).astype(jnp.int32)
     scalars = jnp.stack(
         [
@@ -180,6 +317,7 @@ def flash_decode_layer_attention(
             n_live,
             jnp.asarray(cur_len, jnp.int32),
             jnp.asarray(gap_end, jnp.int32),
+            jnp.asarray(merge_base if tail is not None else cur_len, jnp.int32),
         ]
     )
 
@@ -204,17 +342,38 @@ def flash_decode_layer_attention(
     else:
         cache_block = (1, 1, b_blk, h, s_blk, d)
 
+    in_specs = [
+        pl.BlockSpec(cache_block, kc_map),
+        pl.BlockSpec(cache_block, vc_map),
+        pl.BlockSpec((b_blk, h, 1, d), row_map),
+        pl.BlockSpec((b_blk, h, 1, d), row_map),
+        pl.BlockSpec((b_blk, h, 1, d), row_map),
+    ]
+    operands = [
+        cache,
+        cache,
+        q[:, :, None],
+        k_new[:, :, None],
+        v_new[:, :, None],
+    ]
+    if tail is not None:
+        tail_block = (1, 1, b_blk, h, tail_w, d)
+
+        def tk_map(bi, si, lr, pr):
+            return (lr[0], 0, bi, 0, 0, 0)
+
+        def tv_map(bi, si, lr, pr):
+            return (lr[0], 1, bi, 0, 0, 0)
+
+        in_specs += [pl.BlockSpec(tail_block, tk_map), pl.BlockSpec(tail_block, tv_map)]
+        operands += [tail, tail]
+    in_specs.append(pl.BlockSpec((1, 8, s_blk), lambda bi, si, lr, pr: (si, 0, 0)))
+    operands.append(positions)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(cache_block, kc_map),
-            pl.BlockSpec(cache_block, vc_map),
-            pl.BlockSpec((b_blk, h, 1, d), row_map),
-            pl.BlockSpec((b_blk, h, 1, d), row_map),
-            pl.BlockSpec((b_blk, h, 1, d), row_map),
-            pl.BlockSpec((1, 8, s_blk), lambda bi, si, lr, pr: (si, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b_blk, h, 1, d), row_map),
         scratch_shapes=[
             pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
@@ -223,18 +382,9 @@ def flash_decode_layer_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ds_layout=ds_layout),
+        functools.partial(_kernel, ds_layout=ds_layout, tail_w=tail_w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         interpret=interpret,
-    )(
-        scalars,
-        jnp.asarray(row_prefix, jnp.int32),
-        cache,
-        cache,
-        q[:, :, None],
-        k_new[:, :, None],
-        v_new[:, :, None],
-        positions,
-    )
+    )(scalars, jnp.asarray(row_prefix, jnp.int32), *operands)
     return out[:, :, 0]

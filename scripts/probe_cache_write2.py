@@ -1,0 +1,151 @@
+"""Sweep cache-write kernel variants on hardware: grid granularity (rows per
+cell, KV-pair folding) and a minimal (D,1)-block column write. Each variant is
+checked against XLA dynamic_update_slice then timed as a 30-chain in one jit."""
+
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+l, h, s, d = 30, 16, 384, 64
+b = 16
+s_blk = 128
+rng = np.random.default_rng(0)
+cache0 = jnp.asarray(rng.standard_normal((l, 2, b, h, d, s)), jnp.bfloat16)
+new0 = jnp.asarray(rng.standard_normal((l, 2, b, h, d, 1)), jnp.bfloat16)
+
+
+def make_rmw(b_blk, fold_kv):
+    def kern(scal_ref, c_ref, n_ref, o_ref):
+        off = scal_ref[1]
+        lane = lax.broadcasted_iota(jnp.int32, (1, s_blk), 1)
+        mask = lane == off
+        kk_n = 2 if fold_kv else 1
+        for kk in range(kk_n):
+            for rr in range(b_blk):
+                for hh in range(h):
+                    old = c_ref[0, kk, rr, hh]
+                    new = n_ref[0, kk, rr, hh] + jnp.zeros_like(old)
+                    o_ref[0, kk, rr, hh] = jnp.where(mask, new, old)
+
+    if fold_kv:
+        grid = (l, b // b_blk)
+        cblock = (1, 2, b_blk, h, d, s_blk)
+        nblock = (1, 2, b_blk, h, d, 1)
+
+        def c_map(li, bi, sc):
+            return (li, 0, bi, 0, 0, sc[0])
+
+        def n_map(li, bi, sc):
+            return (li, 0, bi, 0, 0, 0)
+    else:
+        grid = (l, 2, b // b_blk)
+        cblock = (1, 1, b_blk, h, d, s_blk)
+        nblock = (1, 1, b_blk, h, d, 1)
+
+        def c_map(li, ki, bi, sc):
+            return (li, ki, bi, 0, 0, sc[0])
+
+        def n_map(li, ki, bi, sc):
+            return (li, ki, bi, 0, 0, 0)
+
+    @jax.jit
+    def fn(cache, new, pos):
+        scal = jnp.stack([(pos // s_blk).astype(jnp.int32), (pos % s_blk).astype(jnp.int32)])
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=[pl.BlockSpec(cblock, c_map), pl.BlockSpec(nblock, n_map)],
+                out_specs=pl.BlockSpec(cblock, c_map),
+            ),
+            out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+            input_output_aliases={1: 0},
+        )(scal, cache, new)
+
+    return fn
+
+
+def make_col(b_blk):
+    """Output block IS the one-lane column: block lane-size 1, index = pos."""
+
+    def kern(scal_ref, n_ref, o_ref):
+        b_blk_, h_ = o_ref.shape[2], o_ref.shape[3]
+        for kk in range(2):
+            for rr in range(b_blk_):
+                for hh in range(h_):
+                    o_ref[0, kk, rr, hh] = n_ref[0, kk, rr, hh]
+
+    grid = (l, b // b_blk)
+    nblock = (1, 2, b_blk, h, d, 1)
+
+    def o_map(li, bi, sc):
+        return (li, 0, bi, 0, 0, sc[0])
+
+    def n_map(li, bi, sc):
+        return (li, 0, bi, 0, 0, 0)
+
+    @jax.jit
+    def fn(cache, new, pos):
+        scal = jnp.stack([pos.astype(jnp.int32)])
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=[pl.BlockSpec(nblock, n_map)],
+                out_specs=pl.BlockSpec(nblock, o_map),
+            ),
+            out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+            input_output_aliases={1: 0},
+        )(scal, cache, new)
+
+    return fn
+
+
+def check_and_time(name, fn):
+    try:
+        pos = jnp.int32(200)
+        got = fn(cache0, new0, pos)
+        want = lax.dynamic_update_slice(cache0, new0, (0, 0, 0, 0, 0, 200))
+        ok = bool(jnp.all(got == want))
+        if not ok:
+            print(f"{name}: MISMATCH", file=sys.stderr, flush=True)
+            return
+
+        @jax.jit
+        def chain(cache, new):
+            def body(i, c):
+                return fn(c, new, jnp.int32(200))
+
+            return lax.fori_loop(0, 30, body, cache)
+
+        out = chain(cache0, new0)
+        _ = float(out[0, 0, 0, 0, 0, 0])
+        t0 = time.time()
+        n = 20
+        for _ in range(n):
+            out = chain(out, new0)
+        _ = float(out[0, 0, 0, 0, 0, 0])
+        ms = 1000 * (time.time() - t0) / n / 30
+        print(f"{name}: OK {ms:.3f} ms/call", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"{name}: FAIL {type(e).__name__}: {str(e)[:160]}", file=sys.stderr, flush=True)
+
+
+check_and_time("rmw b_blk=8 kvsep", make_rmw(8, False))
+check_and_time("rmw b_blk=8 kvfold", make_rmw(8, True))
+check_and_time("rmw b_blk=16 kvfold", make_rmw(16, True))
+check_and_time("col b_blk=16", make_col(16))
+check_and_time("col b_blk=4", make_col(4))

@@ -84,6 +84,40 @@ def test_flash_decode_ds_layout_matches_sd(dtype):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_decode_ds_tail_matches_sd(dtype):
+    """DS cache + SD tail (last W tokens not yet merged) == the plain SD
+    kernel over the same logical slots. Slots >= merge_base in the DS cache
+    are poisoned to prove the kernel reads them from the tail only."""
+    rng = np.random.default_rng(7)
+    l, b, h, s, d, w = 3, 4, 4, 256, 64, 8
+    cache = jnp.asarray(rng.standard_normal((l, 2, b, h, s, d)), dtype)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    kn = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    vn = jnp.asarray(rng.standard_normal((b, h, d)), dtype)
+    prefix = np.array([30, 140, 1, 64], np.int32)
+    cur, gap_end = 141, 100  # merge_base = 136: tail holds slots [136, 141)
+    mb = (cur // w) * w
+    base = flash_decode_layer_attention(
+        cache, jnp.int32(1), jnp.int32(cur), jnp.asarray(prefix),
+        jnp.int32(gap_end), q, kn, vn, interpret=True,
+    )
+    tail = cache[:, :, :, :, mb : mb + w, :]
+    # large-but-finite poison: masked slots are excluded via an additive
+    # bias (flash convention), so they must not be NaN -- matching the real
+    # cache, whose unmerged lanes hold zero padding or stale values
+    poisoned = cache.at[:, :, :, :, mb:, :].set(1e4)
+    got = flash_decode_layer_attention(
+        jnp.swapaxes(poisoned, -1, -2), jnp.int32(1), jnp.int32(cur),
+        jnp.asarray(prefix), jnp.int32(gap_end), q, kn, vn,
+        tail=tail, merge_base=jnp.int32(mb), interpret=True, ds_layout=True,
+    )
+    atol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(base, np.float32), atol=atol
+    )
+
+
 def test_flash_decode_gap_and_truncation():
     """T3-shaped validity (interior text-padding gap) + runtime truncation:
     dead blocks may hold garbage (even non-finite) without leaking."""
