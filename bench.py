@@ -127,7 +127,10 @@ def main():
     gen_kw = dict(max_new_tokens=args.tokens, min_new_tokens=args.tokens - 1)
 
     t0 = time.time()
-    wavs = tts.generate_batch(texts, seed=0, device_chain=True, **gen_kw)  # compile + run
+    # warm through the SAME path the timed loop uses (batches larger than
+    # max_pipelined_batch are chunked -- the chunk graphs must be compiled
+    # here, not inside the timed iterations)
+    wavs = tts.generate_batches_pipelined([texts], seed=0, **gen_kw)[0]
     compile_s = time.time() - t0
     log(f"first call (compile+run) {compile_s:.1f}s")
 

@@ -95,11 +95,15 @@ class ChatterboxTTS:
     ve_cfg: VoiceEncoderConfig = field(default_factory=VoiceEncoderConfig)
     conds: Optional[Conditionals] = None
     sr: int = S3GEN_SR
-    # largest per-dispatch batch: T3 runs 2x rows (CFG) with a bf16 KV cache
-    # (L=30, 2, 2b, H=16, S<=1024, D=64); b=32 is the largest power of two
-    # whose decode graph fits one v5e chip's 16 GB HBM at the 512-slot
-    # bucket. Bigger requests are chunked through the pipelined path.
-    max_device_batch: int = 32
+    # largest per-dispatch batch: T3 runs 2x rows (CFG) with a bf16 KV cache.
+    # The pad-free (D,S) cache layout (ops/flash_decode.py) fits the b=64
+    # decode graph on one v5e chip (the (S,D) layout padded D 2x and OOM'd
+    # at 20G). Bigger requests are chunked through the pipelined path.
+    max_device_batch: int = 64
+    # largest chunk in the PIPELINED path, which keeps two dispatches in
+    # flight (collect overlaps dispatch): two b=64 full-chain graphs exceed
+    # HBM together, two b=32 fit (measured r2)
+    max_pipelined_batch: int = 32
 
     ENC_COND_LEN = 6 * S3_SR  # tts.py:107
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
@@ -495,7 +499,7 @@ class ChatterboxTTS:
         Batches larger than ``max_device_batch`` are split into sub-batches
         (each decode graph must fit HBM) and their outputs re-joined."""
         base_seed = kw.pop("seed", 0)
-        cap = self.max_device_batch
+        cap = min(self.max_device_batch, self.max_pipelined_batch)
         chunks = []  # (orig batch index, texts)
         for i, texts in enumerate(batches):
             for j in range(0, len(texts), cap):
