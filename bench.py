@@ -19,7 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=250, help="max new speech tokens (25/s)")
-    ap.add_argument("--iters", type=int, default=2)
+    # 6 iterations: with 2, the final batch's exposed host readback (~13 MB/s
+    # tunnel, measured scripts/probe_transfer*.py) skews the steady-state
+    # throughput ~4% low; at 6 every timed iteration is device-bound
+    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")

@@ -88,17 +88,15 @@ def solve_euler(p, cfg: FlowConfig, z, mu, spks, cond, mask=None):
     t_span = cosine_t_span(cfg.n_timesteps)
     b = z.shape[0]
     r = cfg.inference_cfg_rate
-    zeros_mu = jnp.zeros_like(mu)
-    zeros_spk = jnp.zeros_like(spks)
-    zeros_cond = jnp.zeros_like(cond)
     mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+    # the CFG pair's mu/spks/cond are loop-invariant: build them once
+    mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
     def step(x, ts):
         t_cur, dt = ts
         x_in = jnp.concatenate([x, x], axis=0)
-        mu_in = jnp.concatenate([mu, zeros_mu], axis=0)
-        spks_in = jnp.concatenate([spks, zeros_spk], axis=0)
-        cond_in = jnp.concatenate([cond, zeros_cond], axis=0)
         t_in = jnp.full((2 * b,), t_cur, z.dtype)
         v = unet_forward(p["estimator"], cfg.estimator, x_in, mu_in, spks_in, cond_in, t_in, mask2)
         v_cond, v_uncond = v[:b], v[b:]
@@ -160,5 +158,19 @@ def flow_inference(
     )
     mel_mask = jnp.arange(t_mel)[None] < (cfg.token_mel_ratio * total_len)[:, None]
 
-    mel = solve_euler(p, cfg, noise[:, :t_mel], h, spks, conds, mask=mel_mask)
+    # run the solver at a 128-multiple T: the UNet's flash-attention pads to
+    # the 128-lane block anyway, so padding ONCE here turns the per-block
+    # q/k/v pad + out slice (4 copies x 56 blocks x 10 steps of ~12 MB) into
+    # identity ops. Valid-region numerics are unchanged: convs are causal
+    # (never read rightward pads) and padded keys are mask-biased out.
+    tp = -(-t_mel // 128) * 128
+    if tp != t_mel:
+        pad_t = ((0, 0), (0, tp - t_mel), (0, 0))
+        h = jnp.pad(h, pad_t)
+        conds = jnp.pad(conds, pad_t)
+        mask_p = jnp.pad(mel_mask, ((0, 0), (0, tp - t_mel)))
+        noise_p = jnp.pad(noise[:, :t_mel], pad_t) if noise.shape[1] < tp else noise[:, :tp]
+        mel = solve_euler(p, cfg, noise_p, h, spks, conds, mask=mask_p)[:, :t_mel]
+    else:
+        mel = solve_euler(p, cfg, noise[:, :t_mel], h, spks, conds, mask=mel_mask)
     return mel.astype(jnp.float32), mel_mask  # vocoder runs fp32 (flow.py:282 .float())

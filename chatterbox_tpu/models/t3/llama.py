@@ -155,6 +155,35 @@ def _split_heads(x, n_heads, head_dim):
     return x.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
 
 
+def fuse_qkv_params(params):
+    """Concatenate the q/k/v projection weights into one (l, c, 3*hd) matmul
+    operand (H == KV heads here, so the three have equal width). One dot per
+    layer instead of three: same bytes, fewer ops inside the decode scan.
+    Returns a NEW pytree; the canonical (converter/test/sharding) layout
+    keeps separate q/k/v."""
+    layers = dict(params["layers"])
+    if "qkv" in layers:
+        return params
+    layers["qkv"] = {
+        "w": jnp.concatenate(
+            [layers.pop("q")["w"], layers.pop("k")["w"], layers.pop("v")["w"]], axis=-1
+        )
+    }
+    return {**params, "layers": layers}
+
+
+def _qkv(lp, y, h, kvh, d):
+    """Project y -> per-head q, k, v (fused weight when present)."""
+    if "qkv" in lp:
+        qkv = jnp.matmul(y, lp["qkv"]["w"])
+        q, k, v = jnp.split(qkv, [h * d, (h + kvh) * d], axis=-1)
+    else:
+        q = jnp.matmul(y, lp["q"]["w"])
+        k = jnp.matmul(y, lp["k"]["w"])
+        v = jnp.matmul(y, lp["v"]["w"])
+    return _split_heads(q, h, d), _split_heads(k, kvh, d), _split_heads(v, kvh, d)
+
+
 def _attn(q, k, v, mask_bias):
     """(B,H,T,D) x (B,H,S,D) dense attention with additive bias (B,1,T,S).
 
@@ -175,9 +204,7 @@ def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_po
     h, d = cfg.num_attention_heads, cfg.head_dim
     res = x
     y = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-    q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h, d)
-    k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
-    v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+    q, k, v = _qkv(lp, y, h, cfg.num_key_value_heads, d)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_kv is not None:
@@ -322,9 +349,7 @@ def llama_decode_step(
         (ops/flash_decode.py) -- no per-layer slice ever materializes."""
         res = xx
         y = rms_norm(lp["input_ln"], xx, cfg.rms_norm_eps)
-        q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h_heads, d)
-        k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
-        v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+        q, k, v = _qkv(lp, y, h_heads, cfg.num_key_value_heads, d)
         q, k = apply_rope(q, k, cos, sin)
         if lid is not None:
             from ...ops.flash_decode import flash_decode_layer_attention
@@ -469,9 +494,7 @@ def llama_decode_step_unrolled(
         lp = jax.tree.map(lambda w: w[i], params["layers"])
         res = x
         y = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        q = _split_heads(jnp.matmul(y, lp["q"]["w"]), h_heads, d)
-        k = _split_heads(jnp.matmul(y, lp["k"]["w"]), cfg.num_key_value_heads, d)
-        v = _split_heads(jnp.matmul(y, lp["v"]["w"]), cfg.num_key_value_heads, d)
+        q, k, v = _qkv(lp, y, h_heads, cfg.num_key_value_heads, d)
         q, k = apply_rope(q, k, cos, sin)
         new_kv = jnp.stack([k, v]).astype(cache.dtype)  # (2, B, H, 1, D)
         cache = lax.dynamic_update_slice(

@@ -36,36 +36,52 @@ def _pick_q_block(t: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0, 0]  # (Tq, D)
-    k = k_ref[0, 0]  # (T, D)
-    v = v_ref[0, 0]
-    scale = 1.0 / np.sqrt(q.shape[-1])
-    logits = (
-        lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * scale
-    )  # (Tq, T)
-    logits = logits + bias_ref[0, 0:1, :]  # (1, T) additive key bias
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    out = lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Tq, D)
-    o_ref[0, 0] = (out / l).astype(o_ref.dtype)
+    h_blk = q_ref.shape[1]
+    scale = 1.0 / np.sqrt(q_ref.shape[-1])
+    for hh in range(h_blk):  # static unroll over the cell's heads
+        q = q_ref[0, hh]  # (Tq, D)
+        k = k_ref[0, hh]  # (T, D)
+        v = v_ref[0, hh]
+        logits = (
+            lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # (Tq, T)
+        logits = logits + bias_ref[0, 0:1, :]  # (1, T) additive key bias
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        out = lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tq, D)
+        o_ref[0, hh] = (out / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_self_attention(q, k, v, key_bias=None, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "q_block", "heads_per_cell")
+)
+def flash_self_attention(
+    q, k, v, key_bias=None, interpret: bool = False,
+    q_block: int = 0, heads_per_cell: int = 1,
+):
     """q, k, v (B, H, T, D) with T % 128 == 0; key_bias (B, T) additive f32
     (0 = keep, large negative = masked) or None. Returns (B, H, T, D) in
-    q.dtype. Full (non-causal) attention, exact softmax per q row."""
+    q.dtype. Full (non-causal) attention, exact softmax per q row.
+
+    ``q_block`` (0 = auto) and ``heads_per_cell`` set grid granularity.
+    WARNING: heads_per_cell > 1 MISCOMPILES on this backend's old Mosaic
+    (silent wrong numerics, max-abs-diff ~5 at mean 0.05 -- measured via
+    scripts/probe_flash_attn_check.py); keep the default 1 on hardware.
+    The sweep (scripts/probe_flash_attn_tiles.py) showed (256, 1) and
+    (768, 1) within 3% anyway."""
     b, h, t, d = q.shape
     assert t % 128 == 0, t
-    tq = _pick_q_block(t)
-    grid = (b, h, t // tq)
+    tq = int(q_block) if q_block else _pick_q_block(t)
+    h_blk = int(heads_per_cell)
+    assert h % h_blk == 0 and t % tq == 0, (h, h_blk, t, tq)
+    grid = (b, h // h_blk, t // tq)
 
     if key_bias is None:
         key_bias = jnp.zeros((b, t), jnp.float32)

@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--impl", choices=["scan", "unroll"], default="scan")
     ap.add_argument("--unroll", type=int, default=1, help="scan_unroll for --impl scan")
     ap.add_argument("--pallas", action="store_true", help="flash-decode kernel in scan mode")
+    ap.add_argument("--fuse-qkv", action="store_true", help="one fused qkv matmul per layer")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -44,6 +45,11 @@ def main():
 
     cfg = T3Config()
     params = cast_floating_jit(synthetic_init(lambda k: init_t3(k, cfg)), jnp.bfloat16)
+    if args.fuse_qkv:
+        from chatterbox_tpu.models.t3.llama import fuse_qkv_params
+
+        params = dict(params)
+        params["llama"] = jax.jit(fuse_qkv_params)(params["llama"])
     log("params ready")
 
     b, tmax = args.batch, 32
@@ -83,7 +89,8 @@ def main():
         times.append(time.time() - t0)
     per_step_ms = 1000.0 * min(times) / steps
     print(json.dumps({
-        "impl": impl, "unroll": unroll, "pallas": pallas, "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
+        "impl": impl, "unroll": unroll, "pallas": pallas, "fuse_qkv": args.fuse_qkv,
+        "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
         "cache_len": -(-(34 + tmax + 2 + args.tokens) // 128) * 128,
         "compile_s": round(compile_s, 1),
         "run_s": [round(t, 2) for t in times],

@@ -10,6 +10,9 @@ import numpy as np
 
 
 def timed(fn, *args, n=3):
+    """fn must return a SCALAR (reduce inside the jit): the axon tunnel
+    transfers at single-digit MB/s, so reading back a full activation would
+    dominate the timing."""
     import jax
 
     out = fn(*args)
@@ -18,9 +21,8 @@ def timed(fn, *args, n=3):
     for _ in range(n):
         t0 = time.time()
         out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
         # force a scalar readback: axon block_until_ready can return early
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        float(jax.tree.leaves(out)[0])
         best = min(best, time.time() - t0)
     return best
 
@@ -71,7 +73,7 @@ def main():
     cond = jnp.asarray(rng.standard_normal((rows, t_mel, 80)).astype(np.float32))
     tt = jnp.full((rows,), 0.5)
 
-    unet_fn = jax.jit(lambda pr, *a: unet_forward(pr, cfg.flow.estimator, *a))
+    unet_fn = jax.jit(lambda pr, *a: jnp.sum(unet_forward(pr, cfg.flow.estimator, *a).astype(jnp.float32)))
     results["unet_pass_ms"] = 1000 * timed(unet_fn, params["flow"]["estimator"], x, mu, spk, cond, tt)
 
     # conformer encoder (runs once per batch over [prompt; gen] tokens)
@@ -81,7 +83,8 @@ def main():
     def enc(pr, tokens, lens):
         emb = pr["input_embedding"]["w"][tokens]
         tmask = jnp.arange(tokens.shape[1])[None] < lens[:, None]
-        return upsample_conformer_encoder(pr["encoder"], emb, cfg.flow.encoder, key_mask=tmask)
+        out = upsample_conformer_encoder(pr["encoder"], emb, cfg.flow.encoder, key_mask=tmask)
+        return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), jax.tree.leaves(out)[0])
 
     enc_fn = jax.jit(enc)
     results["conformer_ms"] = 1000 * timed(enc_fn, params["flow"], tokens, tok_lens)
@@ -94,7 +97,7 @@ def main():
     gen_tok = jnp.asarray(rng.integers(0, 6561, (b, tb)).astype(np.int32))
 
     flow_fn = jax.jit(
-        lambda pr, *a: flow_inference(pr, cfg.flow, *a)
+        lambda pr, *a: jnp.sum(jax.tree.leaves(flow_inference(pr, cfg.flow, *a))[0].astype(jnp.float32))
     )
     results["flow_total_ms"] = 1000 * timed(
         flow_fn, params["flow"], gen_tok, jnp.full((b,), tb, jnp.int32),
@@ -103,7 +106,7 @@ def main():
 
     # HiFT vocoder
     mel = jnp.asarray(rng.standard_normal((b, 2 * tb, 80)).astype(np.float32))
-    hift_fn = jax.jit(lambda pr, m, k: hift_generate(pr, cfg.hift, m, rng=k))
+    hift_fn = jax.jit(lambda pr, m, k: jnp.sum(jax.tree.leaves(hift_generate(pr, cfg.hift, m, rng=k))[0].astype(jnp.float32)))
     results["hift_ms"] = 1000 * timed(hift_fn, params["hift"], mel, jax.random.PRNGKey(0))
 
     results = {k: round(v, 1) for k, v in results.items()}
