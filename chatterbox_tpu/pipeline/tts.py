@@ -120,6 +120,18 @@ class ChatterboxTTS:
         self._jit_embed_ref = {}
         self.mesh = None  # set via with_mesh() for multi-chip execution
 
+    def _unfuse_qkv(self):
+        """Restore the canonical separate-q/k/v T3 layout if the runtime
+        fused it (runtime/precision.apply_tts_precision)."""
+        if "qkv" in self.t3_params.get("llama", {}).get("layers", {}):
+            from ..models.t3.llama import unfuse_qkv_params
+
+            t3p = dict(self.t3_params)
+            t3p["llama"] = jax.jit(
+                lambda p: unfuse_qkv_params(p, self.t3_cfg.llama)
+            )(t3p["llama"])
+            self.t3_params = t3p
+
     def with_mesh(self, mesh, model_sharded: bool = False) -> "ChatterboxTTS":
         """Place params on a ("data","model") mesh for sharded generation.
 
@@ -129,6 +141,7 @@ class ChatterboxTTS:
         from ..parallel.sharding import replicated, shard_params, t3_param_specs
 
         self.mesh = mesh
+        self._unfuse_qkv()  # sharding specs address the canonical q/k/v layout
         specs = t3_param_specs(self.t3_params) if model_sharded else None
         self.t3_params = shard_params(self.t3_params, mesh, specs)
         self.s3gen_params = jax.tree.map(
@@ -222,6 +235,7 @@ class ChatterboxTTS:
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
+        self._unfuse_qkv()  # checkpoints keep the canonical q/k/v layout
         save_params(self.t3_params, out / "t3.jax.safetensors")
         save_params(self.s3gen_params, out / "s3gen.jax.safetensors")
         save_params(self.ve_params, out / "ve.jax.safetensors")

@@ -32,8 +32,18 @@ def cast_floating_jit(tree, dtype):
 
 
 def apply_tts_precision(tts, dtype=jnp.bfloat16):
-    """Cast a ChatterboxTTS instance's hot-path params in place."""
+    """Cast a ChatterboxTTS instance's hot-path params in place. On a single
+    chip, also fuse the T3 q/k/v projections into one matmul per layer
+    (equivalent to fp-reassociation precision; 3.90 vs 3.95 ms/step measured
+    at 16 CFG rows). Meshed runs keep the canonical layout the sharding
+    specs address."""
     tts.t3_params = cast_floating_jit(tts.t3_params, dtype)
+    if getattr(tts, "mesh", None) is None:
+        from ..models.t3.llama import fuse_qkv_params
+
+        t3p = dict(tts.t3_params)
+        t3p["llama"] = jax.jit(fuse_qkv_params)(t3p["llama"])
+        tts.t3_params = t3p
     sp = dict(tts.s3gen_params)
     sp["flow"] = cast_floating_jit(sp["flow"], dtype)
     if sp.get("tokenizer") is not None:

@@ -126,3 +126,38 @@ def test_prefill_respects_padding_mask():
     h_pad, _ = llama_prefill(params, SMALL, jnp.asarray(xp), pos, mask, 16)
     h_ref, _ = llama_prefill(params, SMALL, jnp.asarray(x), jnp.arange(8)[None], None, 16)
     np.testing.assert_allclose(np.asarray(h_pad)[:, :8], np.asarray(h_ref), atol=1e-5)
+
+
+def test_fused_qkv_equivalent():
+    """fuse_qkv_params / unfuse_qkv_params roundtrip exactly; the fused
+    matmul matches the canonical separate-q/k/v layout to fp-reassociation
+    precision (the wider dot may accumulate in a different order)."""
+    from chatterbox_tpu.models.t3.llama import (
+        fuse_qkv_params,
+        init_llama,
+        unfuse_qkv_params,
+    )
+
+    params = init_llama(jax.random.PRNGKey(3), SMALL)
+    fused = fuse_qkv_params(params)
+    assert "qkv" in fused["layers"] and "q" not in fused["layers"]
+    back = unfuse_qkv_params(fused, SMALL)
+    for k in ("q", "k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(back["layers"][k]["w"]), np.asarray(params["layers"][k]["w"])
+        )
+
+    b, t0, cache_len = 2, 6, 16
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, t0, SMALL.hidden_size)).astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(t0), (b, t0))
+    h1, c1 = llama_prefill(params, SMALL, x, pos, None, cache_len)
+    h2, c2 = llama_prefill(fused, SMALL, x, pos, None, cache_len)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5, rtol=1e-6)
+
+    tok = jnp.asarray(rng.standard_normal((b, 1, SMALL.hidden_size)).astype(np.float32))
+    posi = jnp.full((b, 1), t0, jnp.int32)
+    len_mask = (jnp.arange(cache_len) <= t0)[None].repeat(b, 0)
+    d1, _, _ = llama_decode_step(params, SMALL, tok, c1, jnp.int32(t0), posi, len_mask)
+    d2, _, _ = llama_decode_step(fused, SMALL, tok, c2, jnp.int32(t0), posi, len_mask)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5, rtol=1e-6)
