@@ -36,6 +36,21 @@ class Conditionals(NamedTuple):
         )
         return self._replace(t3=t3)
 
+    @classmethod
+    def stack(cls, conds: list) -> "Conditionals":
+        """Row-stack several single-voice conditionals into one batched
+        Conditionals (leading dim = len(conds)): the batched pipeline
+        broadcasts (1, ...) conds but passes (B, ...) through per row, so a
+        request batcher can serve MIXED voices in one generate_batch call.
+        All entries must share prompt/feat shapes (same cond-length caps)."""
+        import jax
+
+        if len(conds) == 1:
+            return conds[0]
+        shapes = {jax.tree.map(lambda x: x.shape[1:], c) for c in conds}
+        assert len(shapes) == 1, f"mixed conditional shapes cannot stack: {shapes}"
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *conds)
+
     def save(self, fpath):
         tensors = {
             "t3.speaker_emb": np.asarray(self.t3.speaker_emb),

@@ -27,6 +27,12 @@ class ServerConfig(BaseModel):
     default_cfg_weight: float = 0.5
     default_temperature: float = 0.8
     max_batch_size: int = 8
+    # dynamic request batching (serve/batcher.py): concurrent /generate
+    # requests within the window coalesce into one batched dispatch.
+    # 0 disables (every request runs solo, reference behavior).
+    batch_window_ms: float = 25.0
+    max_dynamic_batch: int = 16
+    generate_timeout_s: float = 300.0
 
     @classmethod
     def from_env(cls) -> "ServerConfig":

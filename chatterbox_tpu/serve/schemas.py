@@ -85,4 +85,5 @@ class ServerStatus(BaseModel):
     emotions_ready: List[str] = []
     uptime_seconds: float = 0.0
     memory: Dict = {}
+    batching: Dict = {}  # dynamic-batcher stats (serve/batcher.py)
     version: str = "0.1.0"

@@ -58,6 +58,17 @@ class TTSService:
         self.voices = VoiceManager(
             tts, cfg.voice_storage_path, cfg.config_storage_path, cfg.cache_path
         )
+        # dynamic request batching: concurrent /generate calls coalesce into
+        # one generate_batch dispatch (batch 16 is ~3.3x the per-row
+        # throughput of batch 1 on TPU, docs/PERFORMANCE.md). One worker
+        # thread also serializes all device work under ThreadingHTTPServer.
+        self.batcher = None
+        if cfg.batch_window_ms > 0:
+            from .batcher import DynamicBatcher
+
+            self.batcher = DynamicBatcher(
+                tts, max_batch=cfg.max_dynamic_batch, window_ms=cfg.batch_window_ms
+            )
 
     # ---------------------------------------------------------------- routes
     def health(self) -> ServerStatus:
@@ -80,6 +91,7 @@ class TTSService:
             emotions_ready=self.voices.get_stats()["ready"],
             uptime_seconds=time.time() - self.start_time,
             memory=mem,
+            batching=dict(self.batcher.stats) if self.batcher is not None else {},
         )
 
     def generate(self, req: TTSRequest) -> TTSResponse:
@@ -93,21 +105,31 @@ class TTSService:
         else:
             raise ValueError("no emotion specified and no default voice loaded")
 
-        t0 = time.time()
-        wavs = self.tts.generate_batch(
-            [req.text],
-            conds=conds,
+        params = dict(
             repetition_penalty=req.repetition_penalty,
             min_p=req.min_p,
             top_p=req.top_p,
             exaggeration=req.exaggeration,
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
-            seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
             max_new_tokens=req.max_new_tokens,
         )
+        t0 = time.time()
+        if self.batcher is not None:
+            # coalesced path: seeded requests run as solo groups (the batch
+            # shares sampling draws; solo keeps seed -> audio deterministic)
+            wav = self.batcher.submit(
+                req.text, conds, params, req.seed,
+                timeout=self.cfg.generate_timeout_s,
+            )
+        else:
+            wav = self.tts.generate_batch(
+                [req.text],
+                conds=conds,
+                seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
+                **params,
+            )[0]
         gen_time = time.time() - t0
-        wav = wavs[0]
         duration = len(wav) / self.tts.sr
         resp = TTSResponse(
             sample_rate=self.tts.sr,

@@ -1,0 +1,106 @@
+"""Dynamic request batcher (serve/batcher.py): coalescing, mixed-voice
+stacking, deterministic-seed solo groups, and error propagation."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from chatterbox_tpu.models.s3gen.s3gen import RefDict
+from chatterbox_tpu.pipeline.conditionals import Conditionals, T3CondData
+from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+from chatterbox_tpu.serve.batcher import DynamicBatcher
+
+from test_pipeline import TINY_S3GEN, TINY_T3
+
+
+def _conds(seed: int, p_len: int = 25) -> Conditionals:
+    rng = np.random.default_rng(seed)
+    return Conditionals(
+        T3CondData(
+            jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 6561, (1, 150)).astype(np.int32)),
+            jnp.full((1,), 0.5),
+        ),
+        RefDict(
+            jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
+            jnp.full((1,), p_len, jnp.int32),
+            jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+        ),
+    )
+
+
+PARAMS = dict(max_new_tokens=16, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+              exaggeration=0.5, cfg_weight=0.5, temperature=0.8)
+
+
+@pytest.fixture(scope="module")
+def tts():
+    return ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
+
+
+def test_concurrent_requests_coalesce(tts):
+    batcher = DynamicBatcher(tts, max_batch=8, window_ms=200.0)
+    try:
+        c1, c2 = _conds(1), _conds(2)  # two different voices in one batch
+        results = [None] * 4
+        errs = []
+
+        def worker(i, conds):
+            try:
+                results[i] = batcher.submit(f"request number {i}", conds, PARAMS, None)
+            except BaseException as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i, c1 if i % 2 == 0 else c2))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errs
+        assert all(r is not None and np.isfinite(r).all() and len(r) > 0 for r in results)
+        # the 200 ms window must have coalesced at least one multi-row batch
+        assert batcher.stats["max_batch_seen"] >= 2, batcher.stats
+        assert batcher.stats["requests"] == 4
+    finally:
+        batcher.shutdown()
+
+
+def test_seeded_request_matches_direct_call(tts):
+    """A request with an explicit seed runs as a solo group and must be
+    sample-for-sample identical to an unbatched generate_batch call."""
+    conds = _conds(3)
+    direct = tts.generate_batch(["determinism check"], conds=conds, seed=123, **PARAMS)[0]
+    batcher = DynamicBatcher(tts, max_batch=8, window_ms=50.0)
+    try:
+        got = batcher.submit("determinism check", conds, PARAMS, 123)
+        np.testing.assert_array_equal(got, direct)
+        # submit alongside a concurrent seedless request: still identical
+        other = threading.Thread(
+            target=lambda: batcher.submit("background noise", _conds(4), PARAMS, None)
+        )
+        other.start()
+        got2 = batcher.submit("determinism check", conds, PARAMS, 123)
+        other.join(timeout=600)
+        np.testing.assert_array_equal(got2, direct)
+    finally:
+        batcher.shutdown()
+
+
+def test_error_propagates_to_caller(tts):
+    batcher = DynamicBatcher(tts, max_batch=4, window_ms=10.0)
+    try:
+        bad = dict(PARAMS, nonexistent_kwarg=1)
+        with pytest.raises(TypeError):
+            batcher.submit("boom", _conds(5), bad, None)
+        # the worker must survive the failure and serve the next request
+        ok = batcher.submit("recovery", _conds(6), PARAMS, None)
+        assert np.isfinite(ok).all() and len(ok) > 0
+    finally:
+        batcher.shutdown()
