@@ -15,6 +15,87 @@ import time
 import numpy as np
 
 
+def bench_vc(args, log):
+    """Batched end-to-end voice conversion (BASELINE config 5): source wavs
+    -> S3 tokens -> S3Gen resynthesis with target conditioning -> watermark.
+    Same metric as TTS: audio-seconds synthesized per second per chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.models.s3gen.s3gen import RefDict
+    from chatterbox_tpu.pipeline.vc import ChatterboxVC
+    from chatterbox_tpu.runtime.fast_init import synthetic_init
+    from chatterbox_tpu.runtime.precision import cast_floating_jit
+
+    from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig, init_s3gen
+
+    if args.tiny:
+        from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
+        from chatterbox_tpu.models.s3gen.flow import FlowConfig
+        from chatterbox_tpu.models.s3gen.unet import UNetConfig
+        from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
+
+        cfg = S3GenConfig(
+            flow=FlowConfig(
+                input_size=128,
+                encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
+                                        linear_units=256, num_blocks=2, num_up_blocks=1),
+                estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
+            ),
+            tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
+        )
+        args.tokens = min(args.tokens, 32)
+    else:
+        cfg = S3GenConfig()
+    params = synthetic_init(lambda k: init_s3gen(k, cfg))
+    if not args.fp32:
+        params = dict(params)
+        params["flow"] = cast_floating_jit(params["flow"], jnp.bfloat16)
+        params["tokenizer"] = cast_floating_jit(params["tokenizer"], jnp.bfloat16)
+    vc = ChatterboxVC(s3gen_params=params, s3gen_cfg=cfg)
+    rng = np.random.default_rng(0)
+    p_len = 125
+    vc.ref_dict = RefDict(
+        jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
+        jnp.full((1,), p_len, jnp.int32),
+        jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+    )
+    log("vc model ready")
+
+    # 10 s sources at 16 kHz -> 250 tokens each (the TTS bench's audio budget)
+    secs = args.tokens / 25.0
+    sources = [
+        (rng.standard_normal(int(secs * 16000)) * 0.1).astype(np.float32)
+        for _ in range(args.batch)
+    ]
+    t0 = time.time()
+    outs = vc.generate_batch(sources, seed=0)
+    compile_s = time.time() - t0
+    log(f"first call (compile+run) {compile_s:.1f}s")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        outs = vc.generate_batch(sources, seed=i + 1)
+        times.append(time.time() - t0)
+    audio_s = sum(len(w) for w in outs) / 24000.0
+    thr = audio_s / min(times)
+    print(json.dumps({
+        "metric": f"vc_audio_sec_per_s_per_chip_b{args.batch}",
+        "value": round(thr, 3),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(thr / 1.3, 3),
+    }))
+    print(json.dumps({"detail": {
+        "compile_s": round(compile_s, 1),
+        "iter_s": [round(t, 2) for t in times],
+        "audio_s_per_iter": round(audio_s, 1),
+        "platform": jax.devices()[0].platform,
+        "batch": args.batch,
+    }}), file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -28,6 +109,8 @@ def main():
     ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
     ap.add_argument("--real-conds", action="store_true",
                     help="run the real conditioning models (slow remote compile)")
+    ap.add_argument("--vc", action="store_true",
+                    help="benchmark batched voice conversion (BASELINE config 5) instead of TTS")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +128,9 @@ def main():
     if args.cpu or args.tiny:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    if args.vc:
+        return bench_vc(args, log)
 
     from chatterbox_tpu.pipeline.tts import ChatterboxTTS
 

@@ -142,8 +142,20 @@ class ChatterboxVC:
             noise,
             jax.random.PRNGKey(seed + 1),
         )
-        wmk = self._jit.setdefault(("wm", wav.shape), jax.jit(self.watermarker.apply_in_graph))
+        key_wm = ("wm", wav.shape)
+        wmk = self._jit.get(key_wm)
+        if wmk is None:
+            apply_in_graph = self.watermarker.apply_in_graph
+
+            @jax.jit
+            def wmk(w, pattern):
+                # int16 PCM readback halves the device->host transfer
+                # (~13 MB/s tunnel), same as the TTS pipeline
+                y = apply_in_graph(w, pattern)
+                return jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+            self._jit[key_wm] = wmk
         wav = wmk(wav, jnp.asarray(self.watermarker.band_pattern()))
-        marked = np.asarray(wav)
+        marked = np.asarray(wav).astype(np.float32) / 32767.0
         lens = np.asarray(wav_lens)
         return [marked[i, : int(lens[i])] for i in range(b)]
