@@ -86,7 +86,11 @@ class ChatterboxVC:
         """Single-source API parity (vc.py:83-104) -> (1, T) waveform."""
         return self.generate_batch([audio], target_voice_path, seed=seed)[0][None]
 
-    def generate_batch(self, audios: List, target_voice_path=None, seed: int = 0) -> List[np.ndarray]:
+    def generate_batch(self, audios: List, target_voice_path=None, seed: int = 0,
+                       defer_collect: bool = False) -> List[np.ndarray]:
+        """``defer_collect=True`` returns a device handle; ``collect`` it
+        later (lets the host readback of batch N-1 overlap batch N's device
+        work, same as the TTS pipeline)."""
         if target_voice_path is not None:
             self.set_target_voice(target_voice_path)
         assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
@@ -97,9 +101,13 @@ class ChatterboxVC:
             srcs.append(pad_to_token_multiple(wav))
         n_toks = [len(s) // 640 for s in srcs]
         wav_bucket = _bucket(max(n_toks), TOKEN_BUCKETS) * 640
-        batch = np.zeros((len(srcs), wav_bucket), np.float32)
+        # ship sources as int16 PCM: the tunneled host->device link runs at
+        # ~13 MB/s and a b32 float batch is ~20 MB. WAV sources ARE 16-bit
+        # PCM (librosa floats are n/32768), so the quantization is lossless
+        # for real inputs; the device converts back to float inside the jit.
+        batch = np.zeros((len(srcs), wav_bucket), np.int16)
         for i, s in enumerate(srcs):
-            batch[i, : len(s)] = s
+            batch[i, : len(s)] = np.round(np.clip(s, -1.0, 1.0) * 32767.0).astype(np.int16)
 
         b = len(srcs)
         key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1])
@@ -108,7 +116,8 @@ class ChatterboxVC:
             cfg = self.s3gen_cfg
 
             @jax.jit
-            def run(p, wav16, lens, ref, noise, rng):
+            def run(p, wav_pcm, lens, ref, noise, rng):
+                wav16 = wav_pcm.astype(jnp.float32) / 32767.0
                 bb = wav16.shape[0]
                 noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
                 ref = RefDict(
@@ -156,6 +165,28 @@ class ChatterboxVC:
 
             self._jit[key_wm] = wmk
         wav = wmk(wav, jnp.asarray(self.watermarker.band_pattern()))
+        if defer_collect:
+            return (wav, wav_lens)
+        return self.collect((wav, wav_lens))
+
+    def collect(self, handle) -> List[np.ndarray]:
+        """Materialize a deferred generate_batch result (device -> host)."""
+        wav, wav_lens = handle
         marked = np.asarray(wav).astype(np.float32) / 32767.0
         lens = np.asarray(wav_lens)
-        return [marked[i, : int(lens[i])] for i in range(b)]
+        return [marked[i, : int(lens[i])] for i in range(marked.shape[0])]
+
+    def generate_batches_pipelined(self, batches: List[List], target_voice_path=None,
+                                   seed: int = 0) -> List[List[np.ndarray]]:
+        """Convert several batches, overlapping each batch's host collection
+        with the next batch's device dispatch (mirrors the TTS pipeline)."""
+        if target_voice_path is not None:
+            self.set_target_voice(target_voice_path)
+        handles, out = [], []
+        for c, audios in enumerate(batches):
+            handles.append(self.generate_batch(audios, seed=seed + c, defer_collect=True))
+            if len(handles) > 1:
+                out.append(self.collect(handles.pop(0)))
+        while handles:
+            out.append(self.collect(handles.pop(0)))
+        return out

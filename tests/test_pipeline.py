@@ -94,6 +94,23 @@ def test_vc_end_to_end():
     assert out.shape[0] == 1 and out.shape[1] > 0 and np.isfinite(out).all()
 
 
+def test_vc_pipelined_equals_sequential():
+    """generate_batches_pipelined must return exactly what per-batch
+    generate_batch calls return (same seeds), just with overlapped collection."""
+    vc = ChatterboxVC.from_random(seed=0, s3gen_cfg=TINY_S3GEN)
+    rng = np.random.default_rng(4)
+    vc.set_target_voice((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    batches = [
+        [(rng.standard_normal(32000) * 0.1).astype(np.float32) for _ in range(2)]
+        for _ in range(3)
+    ]
+    piped = vc.generate_batches_pipelined(batches, seed=7)
+    for c, audios in enumerate(batches):
+        direct = vc.generate_batch(audios, seed=7 + c)
+        for a, b in zip(piped[c], direct):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_watermark_roundtrip():
     from chatterbox_tpu.models.watermark import SpreadSpectrumWatermarker
 
