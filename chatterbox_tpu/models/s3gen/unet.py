@@ -92,9 +92,12 @@ def _attn(p, x, n_heads, key_bias=None, use_flash=None):
             else jnp.zeros((x.shape[0], t), jnp.float32)
         )
         bias = jnp.pad(bias, ((0, 0), (0, tp - t)), constant_values=-1.0e10)
+        # 4 heads per grid cell: ~10% faster than 1 on v5e (tile sweep,
+        # ops/flash_attention.py); divides both the live h=8 and tiny h=4
+        hpc = 4 if n_heads % 4 == 0 else 1
         out = flash_self_attention(
             jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), bias,
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() == "cpu", heads_per_cell=hpc,
         )[:, :, :t]
     else:
         scale = 1.0 / np.sqrt(q.shape[-1])

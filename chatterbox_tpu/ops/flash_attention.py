@@ -70,12 +70,14 @@ def flash_self_attention(
     (0 = keep, large negative = masked) or None. Returns (B, H, T, D) in
     q.dtype. Full (non-causal) attention, exact softmax per q row.
 
-    ``q_block`` (0 = auto) and ``heads_per_cell`` set grid granularity.
-    WARNING: heads_per_cell > 1 MISCOMPILES on this backend's old Mosaic
-    (silent wrong numerics, max-abs-diff ~5 at mean 0.05 -- measured via
-    scripts/probe_flash_attn_check.py); keep the default 1 on hardware.
-    The sweep (scripts/probe_flash_attn_tiles.py) showed (256, 1) and
-    (768, 1) within 3% anyway."""
+    ``q_block`` (0 = auto) and ``heads_per_cell`` set grid granularity:
+    more heads per cell amortize grid-step overhead at the cost of VMEM
+    (h_blk*(Tq+2T)*D*2 + Tq*T*4 logits bytes). Check numerics with
+    scripts/probe_flash_attn_check.py and timing with
+    scripts/probe_flash_attn_tiles.py before changing the call-site
+    defaults (an earlier hb>1 sweep measured garbage: the BlockSpecs were
+    1-head-wide while the grid shrank, leaving heads >= h//h_blk
+    unwritten)."""
     b, h, t, d = q.shape
     assert t % 128 == 0, t
     tq = int(q_block) if q_block else _pick_q_block(t)
@@ -92,12 +94,12 @@ def flash_self_attention(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, h_blk, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, h_blk, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, h_blk, t, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 8, t), lambda bi, hi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_specs=pl.BlockSpec((1, h_blk, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=interpret,
     )(q, k, v, bias3)

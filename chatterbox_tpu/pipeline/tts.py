@@ -235,8 +235,18 @@ class ChatterboxTTS:
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        self._unfuse_qkv()  # checkpoints keep the canonical q/k/v layout
-        save_params(self.t3_params, out / "t3.jax.safetensors")
+        # checkpoints keep the canonical q/k/v layout; save an unfused COPY
+        # (reassigning self.t3_params would force a retrace of every cached
+        # T3 executable on a live server and drop the fused-layout speedup)
+        t3_to_save = self.t3_params
+        if "qkv" in t3_to_save.get("llama", {}).get("layers", {}):
+            from ..models.t3.llama import unfuse_qkv_params
+
+            t3_to_save = dict(t3_to_save)
+            t3_to_save["llama"] = jax.jit(
+                lambda p: unfuse_qkv_params(p, self.t3_cfg.llama)
+            )(t3_to_save["llama"])
+        save_params(t3_to_save, out / "t3.jax.safetensors")
         save_params(self.s3gen_params, out / "s3gen.jax.safetensors")
         save_params(self.ve_params, out / "ve.jax.safetensors")
         save_configs(out / "config.json", self.t3_cfg, self.s3gen_cfg, self.ve_cfg)
@@ -404,7 +414,10 @@ class ChatterboxTTS:
         always runs at the max_new bucket)."""
         conds = conds or self.conds
         assert conds is not None, "prepare_conditionals first or pass conds"
-        if float(conds.t3.emotion_adv[0]) != exaggeration:
+        # check EVERY row: stacked mixed-voice conds (Conditionals.stack) may
+        # carry per-profile emotion values -- the per-call exaggeration must
+        # override all of them, not just row 0 (order-independent)
+        if bool(np.any(np.asarray(conds.t3.emotion_adv) != exaggeration)):
             conds = conds.with_exaggeration(exaggeration)
 
         b = len(texts)

@@ -103,11 +103,14 @@ class ChatterboxVC:
         wav_bucket = _bucket(max(n_toks), TOKEN_BUCKETS) * 640
         # ship sources as int16 PCM: the tunneled host->device link runs at
         # ~13 MB/s and a b32 float batch is ~20 MB. WAV sources ARE 16-bit
-        # PCM (librosa floats are n/32768), so the quantization is lossless
-        # for real inputs; the device converts back to float inside the jit.
+        # PCM (librosa floats are n/32768), so scaling by 32768 recovers n
+        # exactly -- lossless for real inputs; the device converts back to
+        # float (/32768) inside the jit.
         batch = np.zeros((len(srcs), wav_bucket), np.int16)
         for i, s in enumerate(srcs):
-            batch[i, : len(s)] = np.round(np.clip(s, -1.0, 1.0) * 32767.0).astype(np.int16)
+            batch[i, : len(s)] = np.clip(
+                np.round(s * 32768.0), -32768, 32767
+            ).astype(np.int16)
 
         b = len(srcs)
         key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1])
@@ -117,7 +120,7 @@ class ChatterboxVC:
 
             @jax.jit
             def run(p, wav_pcm, lens, ref, noise, rng):
-                wav16 = wav_pcm.astype(jnp.float32) / 32767.0
+                wav16 = wav_pcm.astype(jnp.float32) / 32768.0
                 bb = wav16.shape[0]
                 noise = jnp.broadcast_to(noise, (bb,) + noise.shape[1:])
                 ref = RefDict(

@@ -11,9 +11,10 @@ time.
 Design:
   - every /generate request is submitted as a Job to one worker thread;
     the worker drains the queue every ``window_ms`` and groups compatible
-    jobs into ONE ``ChatterboxTTS.generate_batch`` call. A single worker
-    also serializes all device work (the jit caches are not thread-safe
-    under ThreadingHTTPServer).
+    jobs into ONE ``ChatterboxTTS.generate_batch`` call. Dispatches take a
+    shared ``device_lock`` so streaming handlers and cold-voice
+    conditioning (which run on HTTP threads) cannot race the jit caches or
+    duplicate multi-minute remote compiles.
   - compatible = identical sampling/generation params and stackable
     conditionals (``Conditionals.stack`` row-stacks mixed voices, so
     different emotion profiles DO batch together).
@@ -21,9 +22,10 @@ Design:
     sampling draws are shared across a batch, so batching would change the
     draw a seeded request sees; solo execution keeps the deterministic-seed
     contract (seed X -> identical audio to an unbatched call).
-  - the window only delays a request while the device is busy or other work
-    is queued: an idle worker picks up a lone job immediately (the queue
-    ``get`` IS the wait), so the added latency for a solo client is ~0.
+  - cost of coalescing: after a job arrives the worker holds it up to
+    ``window_ms`` waiting for companions, so a solo request pays the window
+    as added latency (default 25 ms ~ 4% of a typical generation; set
+    CHATTERBOX_BATCH_WINDOW_MS=0 to disable batching entirely).
 """
 
 import logging
@@ -65,10 +67,14 @@ class DynamicBatcher:
     row is synthesized; all device work runs on the single worker thread.
     """
 
-    def __init__(self, tts, max_batch: int = 16, window_ms: float = 25.0):
+    def __init__(self, tts, max_batch: int = 16, window_ms: float = 25.0,
+                 device_lock: Optional[threading.RLock] = None):
         self.tts = tts
         self.max_batch = max_batch
         self.window_ms = window_ms
+        # serializes pipeline dispatch/compile against OTHER device users
+        # (streaming handlers, cold-voice conditioning) -- see service.py
+        self.device_lock = device_lock or threading.RLock()
         self.queue: "queue.Queue[Job]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "rows_in_batches": 0, "max_batch_seen": 0}
         self._stop = False
@@ -95,8 +101,7 @@ class DynamicBatcher:
     # --------------------------------------------------------------- worker
     def _collect_window(self, first: Job) -> List[Job]:
         """Gather jobs arriving within window_ms of the first (bounded by
-        max_batch). The wait only happens when a batch is already forming --
-        a lone request proceeds after at most one window."""
+        max_batch); a lone request proceeds after at most one window."""
         jobs = [first]
         deadline = time.monotonic() + self.window_ms / 1000.0
         while len(jobs) < self.max_batch:
@@ -140,7 +145,8 @@ class DynamicBatcher:
             if seed is None:
                 # fresh draw per batch; no request asked for determinism
                 seed = int(time.time() * 1000) % (2**31)
-            wavs = self.tts.generate_batch(texts, conds=conds, seed=seed, **params)
+            with self.device_lock:
+                wavs = self.tts.generate_batch(texts, conds=conds, seed=seed, **params)
             self.stats["batches"] += 1
             self.stats["rows_in_batches"] += len(group)
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(group))

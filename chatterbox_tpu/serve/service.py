@@ -60,14 +60,19 @@ class TTSService:
         )
         # dynamic request batching: concurrent /generate calls coalesce into
         # one generate_batch dispatch (batch 16 is ~3.3x the per-row
-        # throughput of batch 1 on TPU, docs/PERFORMANCE.md). One worker
-        # thread also serializes all device work under ThreadingHTTPServer.
+        # throughput of batch 1 on TPU, docs/PERFORMANCE.md). device_lock
+        # serializes every pipeline dispatch/compile across HTTP handler
+        # threads (ThreadingHTTPServer) + the batcher worker.
+        import threading
+
+        self.device_lock = threading.RLock()
         self.batcher = None
         if cfg.batch_window_ms > 0:
             from .batcher import DynamicBatcher
 
             self.batcher = DynamicBatcher(
-                tts, max_batch=cfg.max_dynamic_batch, window_ms=cfg.batch_window_ms
+                tts, max_batch=cfg.max_dynamic_batch, window_ms=cfg.batch_window_ms,
+                device_lock=self.device_lock,
             )
 
     # ---------------------------------------------------------------- routes
@@ -94,16 +99,20 @@ class TTSService:
             batching=dict(self.batcher.stats) if self.batcher is not None else {},
         )
 
-    def generate(self, req: TTSRequest) -> TTSResponse:
-        conds = None
+    def _resolve_conds(self, req: TTSRequest):
         if req.emotion:
-            conds = self.voices.get_conditionals(req.emotion)
+            # cold-profile conditioning runs the device models -- lock it
+            with self.device_lock:
+                conds = self.voices.get_conditionals(req.emotion)
             if conds is None:
                 raise KeyError(f"emotion profile not found or has no samples: {req.emotion}")
-        elif self.tts.conds is not None:
-            conds = self.tts.conds
-        else:
-            raise ValueError("no emotion specified and no default voice loaded")
+            return conds
+        if self.tts.conds is not None:
+            return self.tts.conds
+        raise ValueError("no emotion specified and no default voice loaded")
+
+    def generate(self, req: TTSRequest) -> TTSResponse:
+        conds = self._resolve_conds(req)
 
         params = dict(
             repetition_penalty=req.repetition_penalty,
@@ -123,12 +132,13 @@ class TTSService:
                 timeout=self.cfg.generate_timeout_s,
             )
         else:
-            wav = self.tts.generate_batch(
-                [req.text],
-                conds=conds,
-                seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
-                **params,
-            )[0]
+            with self.device_lock:
+                wav = self.tts.generate_batch(
+                    [req.text],
+                    conds=conds,
+                    seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
+                    **params,
+                )[0]
         gen_time = time.time() - t0
         duration = len(wav) / self.tts.sr
         resp = TTSResponse(
@@ -153,18 +163,10 @@ class TTSService:
         Sample rate rides the X-Sample-Rate response header."""
         from ..pipeline.streaming import StreamConfig, stream_generate
 
-        conds = None
-        if req.emotion:
-            conds = self.voices.get_conditionals(req.emotion)
-            if conds is None:
-                raise KeyError(f"emotion profile not found or has no samples: {req.emotion}")
-        elif self.tts.conds is not None:
-            conds = self.tts.conds
-        else:
-            raise ValueError("no emotion specified and no default voice loaded")
+        conds = self._resolve_conds(req)
 
         stream = StreamConfig(max_new_tokens=req.max_new_tokens)
-        for chunk in stream_generate(
+        it = stream_generate(
             self.tts,
             req.text,
             conds=conds,
@@ -176,7 +178,15 @@ class TTSService:
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
             seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
-        ):
+        )
+        while True:
+            # lock per chunk: batched /generate work interleaves between
+            # chunks instead of racing the jit caches mid-stream
+            with self.device_lock:
+                try:
+                    chunk = next(it)
+                except StopIteration:
+                    return
             yield (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
 
     def list_emotions(self) -> EmotionListResponse:

@@ -104,3 +104,23 @@ def test_error_propagates_to_caller(tts):
         assert np.isfinite(ok).all() and len(ok) > 0
     finally:
         batcher.shutdown()
+
+
+def test_mixed_emotion_rows_flattened_order_independent(tts):
+    """Stacked conds may carry per-profile emotion values; the per-call
+    exaggeration must override EVERY row (not just row 0), so results are
+    identical regardless of which voice lands in row 0."""
+    from chatterbox_tpu.pipeline.conditionals import Conditionals
+
+    a = _conds(7)  # emotion_adv 0.5 == request exaggeration
+    b = _conds(8).with_exaggeration(0.7)  # profile-cached at 0.7
+    flat_ab = Conditionals.stack([a, b]).with_exaggeration(0.5)
+    texts = ["first voice", "second voice"]
+
+    got = tts.generate_batch(texts, conds=Conditionals.stack([a, b]), seed=9,
+                             exaggeration=0.5, **{k: v for k, v in PARAMS.items()
+                                                  if k != "exaggeration"})
+    want = tts.generate_batch(texts, conds=flat_ab, seed=9, exaggeration=0.5,
+                              **{k: v for k, v in PARAMS.items() if k != "exaggeration"})
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
