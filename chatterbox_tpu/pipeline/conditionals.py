@@ -36,6 +36,15 @@ class Conditionals(NamedTuple):
         )
         return self._replace(t3=t3)
 
+    def rows(self, i: int, j: int) -> "Conditionals":
+        """Row-slice batched (B, ...) conditionals to [i, j); single-voice
+        (1, ...) conds pass through unchanged (they broadcast per batch)."""
+        import jax
+
+        if self.t3.speaker_emb.shape[0] == 1:
+            return self
+        return jax.tree.map(lambda x: x[i:j], self)
+
     @classmethod
     def stack(cls, conds: list) -> "Conditionals":
         """Row-stack several single-voice conditionals into one batched

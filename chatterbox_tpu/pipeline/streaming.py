@@ -76,7 +76,7 @@ def stream_generate(
 
     from .tts import TEXT_BUCKETS, _bucket
 
-    row = tts._encode_text(text)
+    row = tts._cap_text_row(tts._encode_text(text))
     tmax = _bucket(len(row), TEXT_BUCKETS)
     text_tokens = np.zeros((1, tmax), np.int32)
     text_tokens[0, : len(row)] = row
@@ -150,6 +150,13 @@ class _ChunkSynthesizer:
         )
         self.f0_hist = np.zeros((0,), np.float32)  # per emitted mel frame
         self.n_done_tokens = 0
+        # host copy of the CFM noise buffer, fetched ONCE PER PROCESS (cached
+        # on the tts object): reading it per chunk would pay a ~5 MB
+        # device->host transfer on the ~13 MB/s tunnel for every second of
+        # streamed audio, and per-stream would pay it per request
+        if not hasattr(tts, "_cfm_noise_np"):
+            tts._cfm_noise_np = np.asarray(tts._cfm_noise[0])
+        self._noise_np = tts._cfm_noise_np
 
     def _flow_fn(self, win_tok: int):
         key = ("stream_flow", win_tok, int(self.conds.gen.prompt_token.shape[1]))
@@ -201,7 +208,7 @@ class _ChunkSynthesizer:
         p_len = int(self.conds.gen.prompt_token.shape[1])
         # CFM noise aligned to ABSOLUTE mel positions: [prompt | w0*2 + ...]
         total = MEL_PER_TOKEN * (p_len + win_b)
-        noise = np.asarray(self.tts._cfm_noise[0])
+        noise = self._noise_np
         buf = np.zeros((1, total, 80), np.float32)
         buf[0, : MEL_PER_TOKEN * p_len] = noise[: MEL_PER_TOKEN * p_len]
         gen_lo = MEL_PER_TOKEN * (p_len + w0)

@@ -439,7 +439,7 @@ class ChatterboxTTS:
                 min_new_tokens=min_new_tokens,
             )
             return [w for chunk in rows for w in chunk]
-        tok_rows = [self._encode_text(t) for t in texts]
+        tok_rows = [self._cap_text_row(self._encode_text(t)) for t in texts]
         lens = np.array([len(r) for r in tok_rows], np.int32)
         tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
         text_tokens = np.zeros((b, tmax), np.int32)
@@ -526,17 +526,32 @@ class ChatterboxTTS:
         Batches larger than ``max_device_batch`` are split into sub-batches
         (each decode graph must fit HBM) and their outputs re-joined."""
         base_seed = kw.pop("seed", 0)
+        conds = kw.pop("conds", None)
+        batched_conds = (
+            conds is not None and conds.t3.speaker_emb.shape[0] > 1
+        )
+        if batched_conds:
+            # per-row conds must partition exactly like the texts do
+            total = sum(len(t) for t in batches)
+            assert conds.t3.speaker_emb.shape[0] == total, (
+                "batched conds rows must match the total text count",
+                conds.t3.speaker_emb.shape[0], total,
+            )
         cap = min(self.max_device_batch, self.max_pipelined_batch)
-        chunks = []  # (orig batch index, texts)
+        chunks = []  # (orig batch index, texts, conds row offset)
+        off = 0
         for i, texts in enumerate(batches):
             for j in range(0, len(texts), cap):
-                chunks.append((i, texts[j : j + cap]))
+                chunks.append((i, texts[j : j + cap], off + j))
+            off += len(texts)
         handles = []  # (orig batch index, handle)
         out = [[] for _ in batches]
-        for c, (i, texts) in enumerate(chunks):
+        for c, (i, texts, o) in enumerate(chunks):
+            ck = conds.rows(o, o + len(texts)) if conds is not None else None
             handles.append(
                 (i, self.generate_batch(
-                    texts, seed=base_seed + c, device_chain=True, defer_collect=True, **kw
+                    texts, conds=ck, seed=base_seed + c,
+                    device_chain=True, defer_collect=True, **kw
                 ))
             )
             if len(handles) > 1:
@@ -579,6 +594,17 @@ class ChatterboxTTS:
             ids = [(ord(c) % 700) + 1 for c in text]
         sot, eot = self.t3_cfg.start_text_token, self.t3_cfg.stop_text_token
         return np.array([sot] + list(ids) + [eot], np.int32)
+
+    def _cap_text_row(self, row: np.ndarray) -> np.ndarray:
+        """Truncate an encoded row to the largest text bucket, keeping the
+        EOT framing token. ``_bucket`` clamps to buckets[-1], so an
+        over-long row would otherwise crash the fixed-width assignment --
+        and inside a coalesced server batch that exception would fail every
+        co-batched request."""
+        cap = TEXT_BUCKETS[-1]
+        if len(row) <= cap:
+            return row
+        return np.concatenate([row[: cap - 1], row[-1:]]).astype(np.int32)
 
     @staticmethod
     def _tile_conds_in_jit(t3c: T3CondData, b) -> T3CondData:

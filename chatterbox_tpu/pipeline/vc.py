@@ -96,9 +96,13 @@ class ChatterboxVC:
         assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
 
         srcs = []
+        max_samples = TOKEN_BUCKETS[-1] * 640  # largest token bucket (40 s @16k)
         for a in audios:
             wav = load_wav(a, S3_SR) if isinstance(a, (str, Path)) else np.asarray(a, np.float32)
-            srcs.append(pad_to_token_multiple(wav))
+            # _bucket clamps to buckets[-1]; truncate over-long sources so the
+            # fixed-width row assignment cannot overflow (split longer audio
+            # into <=40 s pieces upstream if full conversion is needed)
+            srcs.append(pad_to_token_multiple(wav[:max_samples]))
         n_toks = [len(s) // 640 for s in srcs]
         wav_bucket = _bucket(max(n_toks), TOKEN_BUCKETS) * 640
         # ship sources as int16 PCM: the tunneled host->device link runs at

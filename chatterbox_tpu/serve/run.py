@@ -35,7 +35,7 @@ def main():
     cfg = get_config()
     service = TTSService(cfg)
     seed_profiles(service)
-    run_server(cfg, tts=service.tts)
+    run_server(cfg, service=service)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,9 @@ from pydantic import BaseModel, Field
 class TTSRequest(BaseModel):
     text: str = Field(..., min_length=1, max_length=5000)
     emotion: Optional[str] = None
-    exaggeration: float = Field(0.5, ge=0.0, le=2.0)
+    # None = use the emotion profile's stored exaggeration (or the server
+    # default without a profile); a value overrides per request
+    exaggeration: Optional[float] = Field(None, ge=0.0, le=2.0)
     cfg_weight: float = Field(0.5, ge=0.0, le=1.0)
     temperature: float = Field(0.8, ge=0.1, le=2.0)
     repetition_penalty: float = Field(1.2, ge=1.0, le=3.0)

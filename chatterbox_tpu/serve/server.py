@@ -72,15 +72,21 @@ def build_fastapi_app(service: TTSService):
     @app.post("/generate/stream")
     def generate_stream(req: TTSRequest):
         from fastapi.responses import StreamingResponse
+        import itertools
 
+        gen = service.generate_stream(req)
         try:
-            gen = service.generate_stream(req)
-            return StreamingResponse(
-                gen, media_type="audio/L16",
-                headers={"X-Sample-Rate": "24000", "X-Bit-Depth": "16"},
-            )
-        except KeyError as e:
+            # prime the first chunk: generate_stream is a GENERATOR, so its
+            # body (conds resolution incl. unknown-emotion KeyError) only
+            # runs on first iteration -- without priming, those errors would
+            # surface as a 500 mid-StreamingResponse instead of a 400
+            first = next(gen, b"")
+        except (KeyError, ValueError) as e:
             raise HTTPException(400, str(e))
+        return StreamingResponse(
+            itertools.chain([first], gen), media_type="audio/L16",
+            headers={"X-Sample-Rate": "24000", "X-Bit-Depth": "16"},
+        )
 
     @app.get("/emotions")
     def emotions():
@@ -88,7 +94,10 @@ def build_fastapi_app(service: TTSService):
 
     @app.post("/emotions")
     def create_emotion(req: EmotionCreateRequest):
-        return service.create_emotion(req).model_dump()
+        try:
+            return service.create_emotion(req).model_dump()
+        except ValueError as e:
+            raise HTTPException(400, str(e))
 
     @app.get("/emotions/{emotion_id}")
     def get_emotion(emotion_id: str):
@@ -249,15 +258,25 @@ def make_stdlib_handler(service: TTSService):
                         self.wfile.write(data)
                         self.wfile.write(b"\r\n")
 
-                    if first:
-                        chunk_out(first)
-                    for data in gen:
-                        chunk_out(data)
-                    self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        if first:
+                            chunk_out(first)
+                        for data in gen:
+                            chunk_out(data)
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception:
+                        # headers + chunks already sent: a 500 response here
+                        # would be unframed bytes inside the chunked body.
+                        # Drop the connection so the client sees truncation.
+                        logger.exception("stream failed mid-body")
+                        self.close_connection = True
                     return None
                 if path == "/emotions":
                     req = EmotionCreateRequest(**self._json())
-                    return self._send(200, service.create_emotion(req).model_dump())
+                    try:
+                        return self._send(200, service.create_emotion(req).model_dump())
+                    except ValueError as e:
+                        return self._send(400, {"error": str(e)})
                 m = re.fullmatch(r"/emotions/([^/]+)/test", path)
                 if m:
                     return self._send(200, service.test_emotion(m.group(1)).model_dump())
@@ -322,11 +341,11 @@ def make_stdlib_handler(service: TTSService):
                         )
                     except KeyError as e:
                         return self._send(404, {"error": str(e)})
-                m = re.fullmatch(r"/emotions/([^/]+)", self.path)
+                m = re.fullmatch(r"/emotions/([^/]+)", path)
                 if m:
                     ok = service.delete_emotion(m.group(1))
                     return self._send(200 if ok else 404, {"deleted": ok and m.group(1)})
-                m = re.fullmatch(r"/voices/([^/]+)", self.path)
+                m = re.fullmatch(r"/voices/([^/]+)", path)
                 if m:
                     ok = service.delete_voice(m.group(1))
                     return self._send(200 if ok else 404, {"deleted": ok and m.group(1)})
@@ -338,9 +357,14 @@ def make_stdlib_handler(service: TTSService):
     return Handler
 
 
-def run_server(cfg: ServerConfig = None, tts=None, background: bool = False):
+def run_server(cfg: ServerConfig = None, tts=None, background: bool = False,
+               service: "TTSService" = None):
+    """Pass a prebuilt ``service`` to reuse it (run.py seeds profiles on one
+    first); constructing a second TTSService would duplicate the
+    VoiceManager and orphan a spare batcher worker thread."""
     cfg = cfg or get_config()
-    service = TTSService(cfg, tts=tts)
+    if service is None:
+        service = TTSService(cfg, tts=tts)
     try:
         import fastapi  # noqa: F401
         import uvicorn
@@ -351,6 +375,7 @@ def run_server(cfg: ServerConfig = None, tts=None, background: bool = False):
         return None
     except ImportError:
         httpd = ThreadingHTTPServer((cfg.host, cfg.port), make_stdlib_handler(service))
+        httpd.service = service  # exposed for tests/embedding
         logger.info("serving with stdlib HTTP server on %s:%d", cfg.host, cfg.port)
         if background:
             t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -100,25 +100,34 @@ class TTSService:
         )
 
     def _resolve_conds(self, req: TTSRequest):
+        """Returns (conds, exaggeration). A request without an explicit
+        exaggeration uses the emotion profile's stored value (the point of
+        exaggeration-keyed conditioning caches) or the server default."""
         if req.emotion:
             # cold-profile conditioning runs the device models -- lock it
             with self.device_lock:
                 conds = self.voices.get_conditionals(req.emotion)
             if conds is None:
                 raise KeyError(f"emotion profile not found or has no samples: {req.emotion}")
-            return conds
+            if req.exaggeration is not None:
+                exag = req.exaggeration
+            else:
+                prof = self.voices.get_profile(req.emotion)
+                exag = prof.exaggeration if prof else self.cfg.default_exaggeration
+            return conds, exag
+        exag = req.exaggeration if req.exaggeration is not None else self.cfg.default_exaggeration
         if self.tts.conds is not None:
-            return self.tts.conds
+            return self.tts.conds, exag
         raise ValueError("no emotion specified and no default voice loaded")
 
     def generate(self, req: TTSRequest) -> TTSResponse:
-        conds = self._resolve_conds(req)
+        conds, exaggeration = self._resolve_conds(req)
 
         params = dict(
             repetition_penalty=req.repetition_penalty,
             min_p=req.min_p,
             top_p=req.top_p,
-            exaggeration=req.exaggeration,
+            exaggeration=exaggeration,
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
             max_new_tokens=req.max_new_tokens,
@@ -163,7 +172,7 @@ class TTSService:
         Sample rate rides the X-Sample-Rate response header."""
         from ..pipeline.streaming import StreamConfig, stream_generate
 
-        conds = self._resolve_conds(req)
+        conds, exaggeration = self._resolve_conds(req)
 
         stream = StreamConfig(max_new_tokens=req.max_new_tokens)
         it = stream_generate(
@@ -174,7 +183,7 @@ class TTSService:
             repetition_penalty=req.repetition_penalty,
             min_p=req.min_p,
             top_p=req.top_p,
-            exaggeration=req.exaggeration,
+            exaggeration=exaggeration,
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
             seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),

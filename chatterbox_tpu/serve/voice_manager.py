@@ -11,6 +11,7 @@ the caller -- thread-safe by construction.
 import hashlib
 import json
 import logging
+import re
 import threading
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -56,7 +57,19 @@ class VoiceManager:
     def get_profile(self, emotion_id: str) -> Optional[EmotionProfile]:
         return self._profiles.get(emotion_id)
 
+    _ID_RE = re.compile(r"^[A-Za-z0-9_\-]{1,64}$")
+
     def create_profile(self, profile: EmotionProfile) -> EmotionProfile:
+        # the id becomes part of on-disk cache filenames and voice_samples
+        # become path components under voice_dir: sanitize BOTH or an
+        # unauthenticated client writes/reads outside the storage dirs
+        if not self._ID_RE.fullmatch(profile.id):
+            raise ValueError(
+                "emotion id must match [A-Za-z0-9_-]{1,64}"
+            )
+        profile = profile.model_copy(
+            update={"voice_samples": [Path(s).name for s in profile.voice_samples]}
+        )
         with self._lock:
             self._profiles[profile.id] = profile
             self._save_profiles()
@@ -141,7 +154,7 @@ class VoiceManager:
         h = hashlib.sha1()
         for s in sorted(prof.voice_samples):
             h.update(s.encode())
-            p = self.voice_dir / s
+            p = self.voice_dir / Path(s).name
             if p.exists():
                 h.update(str(p.stat().st_size).encode())
         return f"{prof.id}_{prof.exaggeration}_{h.hexdigest()[:12]}"
@@ -168,7 +181,7 @@ class VoiceManager:
 
                 primary, max_dur = None, -1.0
                 for name in prof.voice_samples:
-                    p = self.voice_dir / name
+                    p = self.voice_dir / Path(name).name
                     if not p.exists():
                         continue
                     try:

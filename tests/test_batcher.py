@@ -124,3 +124,28 @@ def test_mixed_emotion_rows_flattened_order_independent(tts):
                               **{k: v for k, v in PARAMS.items() if k != "exaggeration"})
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_chunked_batch_slices_stacked_conds(tts):
+    """b > max_device_batch with per-row conds: each chunk must receive its
+    own conds rows (the full stack used to reach every chunk -> shape
+    mismatch). Chunked output == per-chunk direct calls with sliced rows."""
+    from chatterbox_tpu.pipeline.conditionals import Conditionals
+
+    stack = Conditionals.stack([_conds(20 + i) for i in range(4)])
+    texts = [f"chunked row {i}" for i in range(4)]
+    old_dev, old_pipe = tts.max_device_batch, tts.max_pipelined_batch
+    try:
+        tts.max_device_batch = tts.max_pipelined_batch = 2
+        chunked = tts.generate_batch(texts, conds=stack, seed=5, **PARAMS)
+    finally:
+        tts.max_device_batch, tts.max_pipelined_batch = old_dev, old_pipe
+    assert len(chunked) == 4
+    direct = []
+    for c in range(2):
+        direct += tts.generate_batch(
+            texts[2 * c : 2 * c + 2], conds=stack.rows(2 * c, 2 * c + 2),
+            seed=5 + c, device_chain=True, **PARAMS
+        )
+    for g, w in zip(chunked, direct):
+        np.testing.assert_array_equal(g, w)

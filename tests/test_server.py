@@ -42,7 +42,12 @@ def server(tmp_path_factory):
     )
     tts = ChatterboxTTS.from_random(seed=0, t3_cfg=TINY_T3, s3gen_cfg=TINY_S3GEN)
     httpd = run_server(cfg, tts=tts, background=True)
-    yield cfg
+
+    class Handle:  # cfg fields + live-service access for tests
+        port = cfg.port
+        service = httpd.service
+
+    yield Handle
     httpd.shutdown()
 
 
@@ -231,3 +236,60 @@ def test_generate_stream_chunked(server, tmp_path):
     assert np.isfinite(samples.astype(np.float32)).all()
     # 12 tokens max -> at most 12 * 960 samples
     assert len(samples) <= 12 * 960
+
+
+def test_malicious_emotion_id_rejected(server):
+    """Profile ids become cache filenames; traversal attempts must 400."""
+    try:
+        _req(server.port, "/emotions", "POST",
+             {"id": "../../tmp/pwn", "name": "x"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code in (400, 422)
+
+
+def test_delete_with_query_string(server, tmp_path):
+    """DELETE /emotions/{id}?anything must match the id without the query."""
+    code, _ = _req(server.port, "/emotions", "POST", {"id": "qs-prof", "name": "x"})
+    assert code == 200
+    code, j = _req(server.port, "/emotions/qs-prof?force=1", "DELETE")
+    assert code == 200 and j["deleted"] == "qs-prof"
+
+
+def test_overlong_text_truncates_not_crashes(server, tmp_path):
+    """Text beyond the largest token bucket must generate (truncated), not
+    raise a broadcast error -- in a coalesced batch that exception would
+    poison co-batched requests."""
+    import numpy as np
+
+    from chatterbox_tpu.pipeline.audio import save_wav
+
+    rng = np.random.default_rng(11)
+    wav_path = tmp_path / "long.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    code, _ = _req(server.port, "/voices/upload?filename=long.wav", "POST", wav_path.read_bytes())
+    assert code == 200
+    code, _ = _req(server.port, "/emotions", "POST",
+                   {"id": "longtext", "voice_samples": ["long.wav"]})
+    assert code == 200
+    code, j = _req(
+        server.port, "/generate", "POST",
+        {"text": "word " * 900, "emotion": "longtext", "seed": 3, "max_new_tokens": 4},
+    )
+    assert code == 200 and j["success"]
+
+
+def test_profile_exaggeration_used_when_request_omits_it(server):
+    """A request without exaggeration resolves to the profile value; an
+    explicit request value overrides it."""
+    from chatterbox_tpu.serve.schemas import TTSRequest
+
+    service = server.service
+    code, _ = _req(server.port, "/emotions", "POST",
+                   {"id": "exg", "exaggeration": 0.9, "voice_samples": ["long.wav"]})
+    assert code == 200
+    _, exag = service._resolve_conds(TTSRequest(text="x", emotion="exg"))
+    assert exag == 0.9
+    _, exag = service._resolve_conds(
+        TTSRequest(text="x", emotion="exg", exaggeration=0.2))
+    assert exag == 0.2
