@@ -66,7 +66,12 @@ def sample_from_logits(logits, u):
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    return jnp.argmin(cum < u[:, None], axis=-1).astype(jnp.int32)
+    # scale the draw by the actual cumsum total: f32 rounding can leave
+    # cum[-1] slightly below 1, and a draw above it would make `cum < u`
+    # all-True -> argmin returns index 0, emitting an arbitrary token that
+    # may have zero (masked) probability
+    u = u[:, None] * cum[:, -1:]
+    return jnp.argmin(cum < u, axis=-1).astype(jnp.int32)
 
 
 def cfg_combine(logits_cond, logits_uncond, cfg_weight):

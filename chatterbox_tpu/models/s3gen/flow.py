@@ -95,17 +95,22 @@ def solve_euler(p, cfg: FlowConfig, z, mu, spks, cond, mask=None):
     cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
     def step(x, ts):
+        # (t, dt) stay fp32: casting them to the bf16 activation dtype
+        # quantizes t by ~2^-9, which the sinusoidal time embedding
+        # (scale=1000) amplifies to O(1)-radian phase errors in its
+        # high-frequency components -- every CFM step would condition on a
+        # wrong timestep on TPU while fp32 CPU parity tests see nothing
         t_cur, dt = ts
         x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.full((2 * b,), t_cur, z.dtype)
+        t_in = jnp.full((2 * b,), t_cur, jnp.float32)
         v = unet_forward(p["estimator"], cfg.estimator, x_in, mu_in, spks_in, cond_in, t_in, mask2)
         v_cond, v_uncond = v[:b], v[b:]
         dphi = (1.0 + r) * v_cond - r * v_uncond
-        return x + dt * dphi, None
+        return x + (dt * dphi).astype(x.dtype), None
 
     ts = jnp.stack(
         [jnp.asarray(t_span[:-1]), jnp.asarray(np.diff(t_span))], axis=1
-    ).astype(z.dtype)
+    ).astype(jnp.float32)
     x, _ = lax.scan(step, z, ts)
     return x
 

@@ -131,7 +131,10 @@ def unet_forward(p, cfg: UNetConfig, x, mu, spks, cond, t, mask=None):
         mask_c = mask[..., None].astype(x.dtype)
         key_bias = (1.0 - mask.astype(jnp.float32)) * -1.0e10  # mask_to_bias (decoder.py:25-33)
 
-    t_emb = sinusoidal_pos_emb(t, cfg.in_channels)
+    # the sinusoid needs an fp32 t (bf16 t quantizes to O(1)-radian phase
+    # errors at scale=1000); the resulting O(1) embedding values then cast
+    # harmlessly to the activation dtype so the MLP/resnet chain stays bf16
+    t_emb = sinusoidal_pos_emb(t.astype(jnp.float32), cfg.in_channels).astype(x.dtype)
     t_emb = linear(p["time_mlp2"], jax.nn.silu(linear(p["time_mlp1"], t_emb)))
 
     h = jnp.concatenate(

@@ -129,14 +129,23 @@ def pad_to_token_multiple(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
     return np.pad(wav, (0, target - len(wav)))
 
 
-def s3_tokenize(p, cfg: S3TokenizerConfig, wav16: jnp.ndarray, max_len: int = None):
+def s3_tokenize(p, cfg: S3TokenizerConfig, wav16: jnp.ndarray, max_len: int = None,
+                wav_lens=None):
     """(B, T) padded 16 kHz wavs -> (tokens (B, T_tok), lens). Mirrors the
     reference forward (s3tokenizer.py:90-126): mel frontend, optional
-    truncation to max_len tokens (mel frames = 4 * tokens)."""
+    truncation to max_len tokens (mel frames = 4 * tokens).
+
+    ``wav_lens`` (B,) masks zero-padded rows: without it the encoder's full
+    self-attention mixes pad-region mel keys into short rows' tokens, so a
+    row's tokens would depend on what it was batched with (the reference
+    masks too, s3tokenizer padding)."""
     mels = s3tok_log_mel_spectrogram(wav16).transpose(0, 2, 1)  # (B, T_mel, 128)
     if max_len is not None:
         mels = mels[:, : max_len * 4]
-    return s3_encode_mels(p, cfg, mels)
+    mel_lens = None
+    if wav_lens is not None:
+        mel_lens = jnp.minimum(wav_lens // 160, mels.shape[1])
+    return s3_encode_mels(p, cfg, mels, mel_lens=mel_lens)
 
 
 def drop_invalid_tokens(tokens: np.ndarray) -> np.ndarray:

@@ -78,7 +78,13 @@ def alignment_step(
     cols = jnp.arange(s)[None]  # (1, S)
     valid_text = cols < text_lens[:, None]
 
-    # monotonic-ish masking keyed by frame index (reference l. 104)
+    # monotonic-ish masking keyed by frame index (reference l. 104 keeps
+    # cols <= curr_frame_pos). Our step 0 corresponds to the reference's
+    # SECOND analyzer call (curr_frame_pos = step_i + 1): its first call
+    # consumes the multi-row prefill chunk, which this in-loop design does
+    # not see -- a known one-row shift in the running statistics (the
+    # prefill rows only contribute through the same head/tail maxima the
+    # first decode rows re-establish).
     chunk = jnp.where(valid_text & (cols <= step_i + 1), attn_row, 0.0)
 
     cur_pos = jnp.argmax(chunk, axis=1).astype(jnp.int32)  # (B,)
@@ -101,8 +107,10 @@ def alignment_step(
         complete & (state.completed_at == sentinel), step_i, state.completed_at
     )
 
-    # post-completion accumulators (rows >= completed_at, incl. this one)
-    post = complete & (step_i >= completed_at)  # (B,)
+    # post-completion accumulators: rows strictly AFTER the completion row
+    # (reference A[completed_at:] with completed_at = len(A) at completion
+    # excludes the completing row itself)
+    post = complete & (step_i > completed_at)  # (B,)
     last3 = cols >= (text_lens[:, None] - 3)
     tail_mass = state.tail_mass + jnp.where(
         post[:, None] & last3, chunk, 0.0

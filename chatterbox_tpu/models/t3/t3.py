@@ -246,6 +246,16 @@ def _make_decode_body(
             logits = cfg_combine(lc, lu, sampling.cfg_weight)
         else:
             logits = logits_2b
+        if sampling.min_new_tokens > 0:
+            # HF min_new_tokens semantics: EOS unreachable before the minimum.
+            # Applied BEFORE the alignment watchdog so a hallucination-forced
+            # EOS survives: flooring a forced EOS after the fact would leave
+            # every logit at the watchdog's -2^15 suppression value and the
+            # row would sample uniformly from the whole vocab.
+            eos_col = jnp.arange(logits.shape[-1])[None] == cfg.stop_speech_token
+            logits = jnp.where(
+                (step_i < sampling.min_new_tokens) & eos_col, jnp.finfo(jnp.float32).min, logits
+            )
         if alignment:
             from .alignment import alignment_step
 
@@ -256,12 +266,6 @@ def _make_decode_body(
                 step_i,
                 logits,
                 cfg.stop_speech_token,
-            )
-        if sampling.min_new_tokens > 0:
-            # HF min_new_tokens semantics: EOS unreachable before the minimum
-            eos_col = jnp.arange(logits.shape[-1])[None] == cfg.stop_speech_token
-            logits = jnp.where(
-                (step_i < sampling.min_new_tokens) & eos_col, jnp.finfo(jnp.float32).min, logits
             )
         logits = process_logits(logits, seen, sampling)
         if sampling.greedy:
@@ -374,10 +378,8 @@ def t3_generate(
 
     rows_b = b  # conditional rows
     vocab = cfg.speech_tokens_dict_size
-
-    # rope position of the next token to be written, per row (pads compacted;
-    # equals the count of valid prefill positions = s0 for unpadded rows)
-    base_pos = jnp.max(pre.positions, axis=1) + 1  # (2B,)
+    # (decode rope positions come from _make_decode_body's base_pos =
+    # cfg.n_cond + text_lens + n_bos, the compacted valid-prefill count)
 
     valid0 = jnp.pad(pre.valid, ((0, 0), (0, cache_len - s0)))
 

@@ -84,39 +84,21 @@ class SpreadSpectrumWatermarker:
     def apply_in_graph(self, wav, pattern):
         """Jit-traceable watermark application on (B, T) device arrays.
 
-        Same numerics as apply_watermark (pads to a hop multiple in-graph)."""
+        Same numerics as apply_watermark (pads to a hop multiple in-graph).
+        The band modulation is a direct complex-magnitude scale: multiplying
+        re/im by (1 + strength*pattern) scales |S| by exactly that factor."""
         cfg = self.cfg
         t_len = wav.shape[-1]
         pad = (-t_len) % cfg.hop
         x = jnp.pad(wav.astype(jnp.float32), ((0, 0), (0, pad)))
         win = dsp.hann_window(cfg.n_fft)
         re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
-        mag = jnp.sqrt(re**2 + im**2 + 1e-12)
         scale = 1.0 + cfg.strength * pattern[None, None, :]
-        mag_band = mag[..., cfg.band_lo : cfg.band_hi] * scale
-        ratio = mag_band / mag[..., cfg.band_lo : cfg.band_hi]
-        re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
-        im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
+        re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(scale)
+        im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(scale)
         y = dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
         y = jnp.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
         return y
-
-    def _apply_fn(self):
-        cfg = self.cfg
-
-        @jax.jit
-        def apply(x, pattern):
-            win = dsp.hann_window(cfg.n_fft)
-            re, im = dsp.stft(x, cfg.n_fft, cfg.hop, win)
-            mag = jnp.sqrt(re**2 + im**2 + 1e-12)
-            scale = 1.0 + cfg.strength * pattern[None, None, :]
-            mag_band = mag[..., cfg.band_lo : cfg.band_hi] * scale
-            ratio = mag_band / mag[..., cfg.band_lo : cfg.band_hi]
-            re = re.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
-            im = im.at[..., cfg.band_lo : cfg.band_hi].multiply(ratio)
-            return dsp.istft(re, im, cfg.n_fft, cfg.hop, win)
-
-        return apply
 
     def apply_watermark(self, wav, watermark=None, sample_rate: int = 24000):
         """wav (T,) or (B, T) float32 -> watermarked, same shape/length."""
@@ -134,7 +116,12 @@ class SpreadSpectrumWatermarker:
             payload = np.asarray(watermark, np.float32) * 2 - 1
         # unit-RMS band pattern (rows orthonormal)
         pattern = (payload @ pn) / np.sqrt(cfg.payload_bits)
-        fn = self._jit_apply.setdefault(x.shape, self._apply_fn())
+        fn = self._jit_apply.get(x.shape)
+        if fn is None:
+            # one jitted body shared with the fused pipeline path; trimming
+            # to t_len happens on host (the graph pads to a hop multiple)
+            fn = jax.jit(self.apply_in_graph)
+            self._jit_apply[x.shape] = fn
         y = np.asarray(fn(jnp.asarray(x), jnp.asarray(pattern)))
         y = np.pad(y, ((0, 0), (0, max(0, t_len - y.shape[-1]))))[:, :t_len]
         return y[0] if squeeze else y

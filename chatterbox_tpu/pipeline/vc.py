@@ -133,7 +133,11 @@ class ChatterboxVC:
                         for x in ref
                     ]
                 )
-                tokens, _ = s3_tokenize(p["tokenizer"], cfg.tokenizer, wav16)
+                # mask pad-region mel keys: a row's tokens must not depend
+                # on the longer rows it was batched with
+                tokens, _ = s3_tokenize(
+                    p["tokenizer"], cfg.tokenizer, wav16, wav_lens=lens * 640
+                )
                 return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
 
             fn = run
