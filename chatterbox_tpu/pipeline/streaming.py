@@ -119,6 +119,9 @@ def stream_generate(
 
     synth = _ChunkSynthesizer(tts, conds, stream, seed)
     n_emitted_tokens = 0
+    # NOTE: decode-ahead (dispatching the next t3 chunk before this chunk's
+    # synthesis) was measured SLOWER on the axon backend (11.1 -> 19.9 s
+    # wall for a 250-token stream) -- keep the serial loop.
     while True:
         carry, res = step_fn(tts.t3_params, carry, text_lens)
         steps = int(res.steps)
@@ -223,6 +226,12 @@ class _ChunkSynthesizer:
         new_lo_frames = MEL_PER_TOKEN * (self.n_done_tokens - w0)
         voc_lo = max(0, new_lo_frames - st.hift_ctx_frames)
         voc_hi = MEL_PER_TOKEN * len(window)
+        # bucket the vocoder span to 50-frame multiples by EXTENDING voc_lo
+        # (more leading context is always safe -- the emitted region is
+        # trimmed below): token-drop randomness otherwise makes nearly every
+        # chunk a fresh n_frames -> a fresh multi-second hift compile
+        span = -(-(voc_hi - voc_lo) // 50) * 50
+        voc_lo = max(0, voc_hi - span)
         voc_mel = np.asarray(mel[:, voc_lo:voc_hi])
         abs_voc_lo = w0 * MEL_PER_TOKEN + voc_lo
         f0_cum = jnp.asarray(

@@ -59,9 +59,13 @@ def main():
     st = StreamConfig(chunk_tokens=args.chunk_tokens, max_new_tokens=args.tokens)
     kw = dict(seed=0, min_new_tokens=args.tokens - 1)
 
-    # warm-up / compile
+    # warm-up / compile. Same seed as the timed run: token-drop randomness
+    # otherwise lands the timed stream in fresh flow/hift shape buckets and
+    # times their compiles instead of steady state (the vocoder span is
+    # 50-frame-bucketed, but flow windows still key on clean-token counts).
     t0 = time.time()
-    n = sum(len(c) for c in stream_generate(tts, text, stream=st, **kw))
+    n = sum(len(c) for c in stream_generate(tts, text, stream=st, seed=1,
+                                            min_new_tokens=args.tokens - 1))
     log(f"compile+run {time.time()-t0:.1f}s ({n/24000.0:.1f}s audio)")
 
     t0 = time.time()
