@@ -194,14 +194,36 @@ def _resblock(p, x, kernel, dilations, snake_act=snake):
     return x
 
 
-def hift_decode(p, cfg: HiFTConfig, mel: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+def hift_decode(
+    p, cfg: HiFTConfig, mel: jnp.ndarray, source: jnp.ndarray,
+    compute_dtype=None,
+) -> jnp.ndarray:
     """(B, T, 80) mel + (B, T*480) merged source -> (B, T*480) waveform.
 
     Deterministic part of the vocoder; mirrors hifigan.py:412-444.
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv trunk (upsamples +
+    resblocks -- the vocoder's FLOPs) in bf16 while keeping every
+    phase-sensitive stage fp32: the sine-source path upstream, the source
+    STFT, and the conv_post -> exp(mag)/sin(phase) -> iSTFT head. A
+    whole-vocoder bf16 cast measured 4 dB SNR (CLAUDE.md) -- the damage is
+    in the phase math, not the trunk (split measured ~39 dB,
+    scripts/probe_hift_precision.py).
     """
     win = dsp.hann_window(cfg.istft_n_fft)
     s_re, s_im = dsp.stft(source, cfg.istft_n_fft, cfg.istft_hop_len, win, center=True)
     s_stft = jnp.concatenate([s_re, s_im], axis=-1)  # (B, T*120+1, 18)
+
+    if compute_dtype is not None:
+        from ...runtime.precision import cast_floating
+
+        trunk = {
+            k: cast_floating(p[k], compute_dtype)
+            for k in ("conv_pre", "ups", "source_downs", "source_resblocks", "resblocks")
+        }
+        p = {**p, **trunk}
+        mel = mel.astype(compute_dtype)
+        s_stft = s_stft.astype(compute_dtype)
 
     x = conv1d(p["conv_pre"], mel, padding=3)
     num_kernels = len(cfg.resblock_kernel_sizes)
@@ -232,6 +254,7 @@ def hift_decode(p, cfg: HiFTConfig, mel: jnp.ndarray, source: jnp.ndarray) -> jn
         x = xs / num_kernels
 
     x = leaky_relu(x, 0.01)  # F.leaky_relu default slope (hifigan.py:437)
+    x = x.astype(p["conv_post"]["w"].dtype)  # head back to fp32 (no-op when full-precision)
     x = conv1d(p["conv_post"], x, padding=3)
     n_freq = cfg.istft_n_fft // 2 + 1
     magnitude = jnp.clip(jnp.exp(x[..., :n_freq]), max=1e2)
@@ -256,13 +279,15 @@ def hift_generate(
     additive_noise: jnp.ndarray = None,
     f0_cum_init: jnp.ndarray = None,
     return_f0: bool = False,
+    compute_dtype=None,
 ):
     """Full vocoder: (B, T, 80) mel -> ((B, T*480) wav, (B, T*480) source).
 
     Randomness is injected either via ``rng`` (a jax PRNG key) or explicitly
     via (phase_noise, additive_noise) for bit-parity testing. Mirrors
     hifigan.py:462-474 `inference` (without streaming cache_source, which is
-    dormant in the pipeline -- s3gen.py:251).
+    dormant in the pipeline -- s3gen.py:251). ``compute_dtype``: see
+    hift_decode (f0 prediction and the sine source always stay fp32).
     """
     b, t, _ = mel.shape
     f0 = f0_predict(p["f0_predictor"], mel)  # (B, T)
@@ -275,7 +300,7 @@ def hift_generate(
         additive_noise = jax.random.normal(k2, (b, h, t * ups))
     src_h = sine_source(cfg, f0_up, phase_noise, additive_noise, f0_cum_init)  # (B, L, H+1)
     source = jnp.tanh(linear(p["m_source_linear"], src_h))[..., 0]  # (B, L)
-    wav = hift_decode(p, cfg, mel, source)
+    wav = hift_decode(p, cfg, mel, source, compute_dtype=compute_dtype)
     if return_f0:
         return wav, source, f0
     return wav, source

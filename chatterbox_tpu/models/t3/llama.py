@@ -254,6 +254,19 @@ def _mlp(lp, y):
     return jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
 
 
+def quantize_kv(kv, axis=-1):
+    """Per-token symmetric int8 quantization along the head-dim axis.
+
+    kv (..., D) float -> (int8 values, f32 scales with ``axis`` reduced):
+    ``kv ~= values * scales[..., None]``. Scales floor at a tiny epsilon so
+    all-zero (padding) tokens stay exactly zero instead of dividing by 0.
+    """
+    absmax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=axis)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.round(kv.astype(jnp.float32) / jnp.expand_dims(scale, axis))
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
 def llama_prefill(
     params,
     cfg: LlamaConfig,
@@ -262,6 +275,7 @@ def llama_prefill(
     attn_mask: Optional[jnp.ndarray],
     cache_len: int,
     ds_layout: bool = False,
+    cache_quant: bool = False,
 ):
     """Full-sequence causal forward, writing a fresh KV cache of size cache_len.
 
@@ -272,7 +286,13 @@ def llama_prefill(
     the 128-lane axis so the HBM array carries NO tile padding (the (S,D)
     layout pads D=64 to 128 lanes -- 2x memory and read bandwidth). Only the
     Pallas flash-decode step consumes this layout (ops/flash_decode.py).
+
+    ``cache_quant=True`` (ds_layout only) stores the main cache int8 with
+    per-token scales -- (cache int8, scales (L,2,B,H,S) f32, tail bf16) --
+    halving the decode loop's dominant HBM read. The SD tail (the most
+    recent <=W tokens) stays full precision.
     """
+    assert not (cache_quant and not ds_layout), "int8 cache requires ds_layout"
     b, t, c = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
     neg = jnp.finfo(jnp.float32).min
@@ -302,6 +322,15 @@ def llama_prefill(
             kvs[:, :, :, :, mb0:, :],
             ((0, 0),) * 4 + ((0, TAIL_W - (t - mb0)), (0, 0)),
         )
+        if cache_quant:
+            q8, sc = quantize_kv(kvs)  # (L,2,B,H,T,D) i8, (L,2,B,H,T) f32
+            cache = jnp.pad(
+                q8.transpose(0, 1, 2, 3, 5, 4), ((0, 0),) * 5 + ((0, pad),)
+            )
+            scales = jnp.pad(
+                sc, ((0, 0),) * 4 + ((0, pad),), constant_values=1.0
+            )
+            return hidden, (cache, scales, tail)
         kvs = kvs.transpose(0, 1, 2, 3, 5, 4)  # (L, 2, B, H, D, T)
         cache = jnp.pad(kvs, ((0, 0),) * 5 + ((0, pad),))
         return hidden, (cache, tail)
@@ -344,10 +373,14 @@ def llama_decode_step(
     cos, sin = rope_cos_sin(cfg, positions)
     tail = None
     merge_base = None
+    scales = None
     if ds_layout:
         from ...ops.flash_decode import flash_cache_merge_ds
 
-        cache, tail = cache  # (L,2,B,H,D,S) main + (L,2,B,H,W,D) SD tail
+        if len(cache) == 3:  # int8 main cache + per-token scales + bf16 tail
+            cache, scales, tail = cache
+        else:
+            cache, tail = cache  # (L,2,B,H,D,S) main + (L,2,B,H,W,D) SD tail
         tail_w = tail.shape[4]
         merge_base = (cache_pos // tail_w) * tail_w
     s = cache.shape[-1] if ds_layout else cache.shape[-2]
@@ -375,7 +408,7 @@ def llama_decode_step(
             a4 = flash_decode_layer_attention(
                 cache, lid, cache_pos, row_prefix, gap_end,
                 q[:, :, 0], k[:, :, 0], v[:, :, 0],
-                tail=tail, merge_base=merge_base,
+                tail=tail, merge_base=merge_base, scales=scales,
                 interpret=jax.default_backend() == "cpu",
                 ds_layout=ds_layout,
             )  # (B, H, D)
@@ -409,7 +442,8 @@ def llama_decode_step(
         y = rms_norm(lp["post_ln"], xx, cfg.rms_norm_eps)
         y = _mlp(lp, y)
         xx = res + jnp.matmul(y, lp["down"]["w"])
-        return xx, jnp.stack([k, v]).astype(cache.dtype), attn_mean
+        kv_dtype = tail.dtype if ds_layout else cache.dtype
+        return xx, jnp.stack([k, v]).astype(kv_dtype), attn_mean
 
     n_layers = cfg.num_hidden_layers
     assert n_layers % unroll == 0, (n_layers, unroll)
@@ -461,17 +495,40 @@ def llama_decode_step(
         new_tail = lax.dynamic_update_slice(
             tail, new_kvs, (0, 0, 0, 0, cache_pos % tail_w, 0)
         )
+        interp = jax.default_backend() == "cpu"
+        if scales is not None:
 
-        def _merge(c):
-            cols = new_tail.transpose(0, 1, 2, 3, 5, 4)  # (L,2,B,H,D,W)
-            return flash_cache_merge_ds(
-                c, cols, merge_base, interpret=jax.default_backend() == "cpu"
+            def _merge(cs):
+                c, sc = cs
+                # quantize the W merged columns per token (tail stays bf16;
+                # the scales array updates via a plain XLA dynamic slice --
+                # it is ~1/128 the cache's size, so the lane-offset copy
+                # that is prohibitive on the cache is noise here)
+                q8, sc_w = quantize_kv(new_tail)  # i8 (...,W,D), f32 (...,W)
+                c = flash_cache_merge_ds(
+                    c, q8.transpose(0, 1, 2, 3, 5, 4), merge_base,
+                    interpret=interp,
+                )
+                sc = lax.dynamic_update_slice(
+                    sc, sc_w, (0, 0, 0, 0, merge_base)
+                )
+                return (c, sc)
+
+            new_cache, new_scales = lax.cond(
+                (cache_pos + 1) % tail_w == 0, _merge, lambda cs: cs,
+                (cache, scales),
             )
+            new_cache = (new_cache, new_scales, new_tail)
+        else:
 
-        new_cache = lax.cond(
-            (cache_pos + 1) % tail_w == 0, _merge, lambda c: c, cache
-        )
-        new_cache = (new_cache, new_tail)
+            def _merge(c):
+                cols = new_tail.transpose(0, 1, 2, 3, 5, 4)  # (L,2,B,H,D,W)
+                return flash_cache_merge_ds(c, cols, merge_base, interpret=interp)
+
+            new_cache = lax.cond(
+                (cache_pos + 1) % tail_w == 0, _merge, lambda c: c, cache
+            )
+            new_cache = (new_cache, new_tail)
     else:
         new_cache = lax.dynamic_update_slice(cache, new_kvs, (0, 0, 0, 0, cache_pos, 0))
     hidden = rms_norm(params["final_ln"], x, cfg.rms_norm_eps)

@@ -347,6 +347,7 @@ def t3_generate(
     decode_impl: str = "scan",  # "scan": read-only-cache layer scan (30x smaller trace); "unroll": static layer indices
     scan_unroll: int = 1,  # layers per scan iteration in "scan" mode (must divide n_layers)
     use_pallas: bool = True,  # flash-decode kernel reads the HBM cache zero-copy (scan mode, no alignment)
+    cache_quant: bool = False,  # int8 KV cache w/ per-token scales (Pallas path only)
     _prefill_only: bool = False,  # return the GenCarry after prefill (streaming)
 ) -> GenResult:
     """Batched CFG speech-token generation. All shapes static; per-row EOS
@@ -368,9 +369,10 @@ def t3_generate(
     # pad the cache to the flash-decode kernel's S-block multiple (free at
     # runtime: the kernel truncates to live blocks each step)
     cache_len = -(-(s0 + max_new_tokens) // 128) * 128
+    ds = _ds_cache(use_pallas, decode_impl, alignment)
     hidden, cache = llama_prefill(
         p["llama"], cfg.llama, pre.embeds, pre.positions, pre.valid, cache_len,
-        ds_layout=_ds_cache(use_pallas, decode_impl, alignment),
+        ds_layout=ds, cache_quant=cache_quant and ds,
     )
     # logits at the last prefill position
     last_h = hidden[jnp.arange(hidden.shape[0]), pre.last_idx]  # (2B, C)
@@ -438,12 +440,14 @@ def t3_generate_start(
     rng: jax.Array,
     sampling: SamplingConfig = SamplingConfig(),
     max_new_tokens: int = 1000,
+    cache_quant: bool = False,
 ) -> GenCarry:
     """Prefill only: build the resumable decode carry without running the
     loop (streaming entry; pipeline/streaming.py)."""
     res_carry = t3_generate(
         p, cfg, text_tokens, text_lens, speaker_emb, prompt_tokens,
-        emotion_adv, rng, sampling, max_new_tokens, _prefill_only=True,
+        emotion_adv, rng, sampling, max_new_tokens, cache_quant=cache_quant,
+        _prefill_only=True,
     )
     return res_carry
 

@@ -52,7 +52,12 @@ TAIL_W = 8  # SD-tail length: tokens buffered between (D,S)-cache merges
 
 
 def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
-            *rest, ds_layout=False, tail_w=0):
+            *rest, ds_layout=False, tail_w=0, quant=False, interp=False):
+    rest = list(rest)
+    sck_ref = scv_ref = None
+    if quant:
+        sck_ref, scv_ref = rest[:2]
+        rest = rest[2:]
     if tail_w:
         tk_ref, tv_ref, pos_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -127,10 +132,20 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
             rp = prefix_ref[b_i * b_blk + rr]
             valid = ((pos < rp) | ((pos >= gap_end) & (pos < cur_len))) & (pos < ds_end)
             bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
+            if quant:
+                sck_row = sck_ref[0, 0, rr]  # (H, Sb) f32 per-token K scales
+                scv_row = scv_ref[0, 0, rr]
             for hh in range(h):
                 k_h = kc_ref[0, 0, rr, hh]  # (Sb, D) or (D, Sb) cache dtype
                 v_h = vc_ref[0, 0, rr, hh]
-                q_h = q_ref[rr, hh].astype(k_h.dtype)  # (1, D)
+                if quant and interp:
+                    # interpret mode (CPU tests): XLA rejects mixed-dtype
+                    # dots -- dequantize the int8 tiles up front instead
+                    k_h = k_h.astype(jnp.float32)
+                    v_h = v_h.astype(jnp.float32)
+                q_h = q_ref[rr, hh].astype(
+                    jnp.float32 if quant else k_h.dtype
+                )  # (1, D); int8 K keeps q in f32 (mixed f32 x i8 dot)
                 if ds_layout:
                     # (D, S) cache tiles: S rides the 128-lane axis with no
                     # tile padding (D=64 lanes pad 2x). QK^T is a standard
@@ -144,12 +159,22 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                         q_h, k_h, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (1, Sb): QK^T as a transpose-rhs matmul, no relayout
+                if quant:
+                    # per-token symmetric int8: k ~= k_i8 * scale_tok, so the
+                    # scale folds into the logits as a (1, Sb) row multiply
+                    qk = qk * sck_row[hh : hh + 1, :]
                 scores = qk * scale + bias
                 m_blk = jnp.max(scores, axis=1, keepdims=True)  # (1, 1)
                 p = jnp.exp(scores - m_blk)  # (1, Sb)
                 l_blk = jnp.sum(p, axis=1, keepdims=True)  # (1, 1)
+                if quant:
+                    # fold the V scales into the probs (row-form), keep the
+                    # PV contraction as a mixed f32 x int8 dot
+                    p_v = p * scv_row[hh : hh + 1, :]
+                else:
+                    p_v = p.astype(v_h.dtype)
                 pv = lax.dot_general(
-                    p.astype(v_h.dtype), v_h,
+                    p_v, v_h,
                     (((1,), (1,)), ((), ())) if ds_layout else (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (1, D)
@@ -256,7 +281,7 @@ def flash_cache_merge_ds(cache, new_cols, pos, interpret: bool = False,
 )
 def flash_decode_layer_attention(
     cache, layer_idx, cur_len, row_prefix, gap_end, q, k_new, v_new,
-    tail=None, merge_base=None,
+    tail=None, merge_base=None, scales=None,
     interpret: bool = False, s_block: int = S_BLOCK, rows_per_cell=None,
     ds_layout: bool = False,
 ):
@@ -282,6 +307,14 @@ def flash_decode_layer_attention(
     via ``flash_cache_merge_ds`` -- a per-step LANE-offset cache write is
     either a full XLA cache copy or a (D, 128)-column RMW, both measured
     slower than this split (scripts/probe_cache_write*.py).
+
+    ``scales`` (L, 2, B, H, S) f32: per-token symmetric int8 quantization
+    scales when the (D, S) cache is int8 (halves the dominant HBM traffic;
+    k ~= k_i8 * scale). QK^T / PV run as mixed f32 x int8 dots with the K
+    scale folded into the logits row and the V scale into the probs row --
+    both (1, Sb) row-form multiplies, Mosaic-portable
+    (scripts/probe_int8_cache.py). The bf16 tail keeps the most recent
+    tokens (and the current token's self-attention) exact.
     """
     if ds_layout:
         _, _, b, h, d, s = cache.shape
@@ -290,6 +323,12 @@ def flash_decode_layer_attention(
     s_blk = int(s_block)
     assert s % s_blk == 0 and s_blk % 8 == 0, (s, s_blk)
     assert tail is None or ds_layout, "the SD tail only pairs with the (D,S) cache"
+    quant = cache.dtype == jnp.int8
+    if quant:
+        assert ds_layout and tail is not None and scales is not None, (
+            "the int8 cache requires the (D,S) layout, the bf16 SD tail and "
+            "per-token scales"
+        )
     tail_w = 0 if tail is None else int(tail.shape[4])
     # rows per grid cell: amortizes grid-step overhead (measured ~45% of
     # kernel time at one row per cell); VMEM = b_blk * s_blk * h * d * 2B * 2
@@ -356,6 +395,17 @@ def flash_decode_layer_attention(
         k_new[:, :, None],
         v_new[:, :, None],
     ]
+    if quant:
+        # per-token scale rows, same S-block walk as the cache tiles
+        def sck_map(bi, si, lr, pr):
+            return (lr[0], 0, bi, 0, jnp.minimum(si, lr[1] - 1))
+
+        def scv_map(bi, si, lr, pr):
+            return (lr[0], 1, bi, 0, jnp.minimum(si, lr[1] - 1))
+
+        sc_block = (1, 1, b_blk, h, s_blk)
+        in_specs += [pl.BlockSpec(sc_block, sck_map), pl.BlockSpec(sc_block, scv_map)]
+        operands += [scales, scales]
     if tail is not None:
         tail_block = (1, 1, b_blk, h, tail_w, d)
 
@@ -382,7 +432,10 @@ def flash_decode_layer_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ds_layout=ds_layout, tail_w=tail_w),
+        functools.partial(
+            _kernel, ds_layout=ds_layout, tail_w=tail_w, quant=quant,
+            interp=interpret,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
         interpret=interpret,

@@ -89,7 +89,8 @@ def stream_generate(
     )
 
     t3c = conds.t3
-    key_s = ("stream_start", tmax, stream.max_new_tokens, sampling)
+    kvq = tts.kv_quant
+    key_s = ("stream_start", tmax, stream.max_new_tokens, sampling, kvq)
     start_fn = tts._jit_t3.get(key_s)
     if start_fn is None:
         cfg = tts.t3_cfg
@@ -97,10 +98,13 @@ def stream_generate(
 
         @jax.jit
         def start_fn(p, text, lens, spk, prompt, emo, rng):
-            return t3_generate_start(p, cfg, text, lens, spk, prompt, emo, rng, sampling, mx)
+            return t3_generate_start(
+                p, cfg, text, lens, spk, prompt, emo, rng, sampling, mx,
+                cache_quant=kvq,
+            )
 
         tts._jit_t3[key_s] = start_fn
-    key_r = ("stream_step", tmax, stream.max_new_tokens, sampling, stream.chunk_tokens)
+    key_r = ("stream_step", tmax, stream.max_new_tokens, sampling, stream.chunk_tokens, kvq)
     step_fn = tts._jit_t3.get(key_r)
     if step_fn is None:
         cfg = tts.t3_cfg

@@ -11,6 +11,7 @@ for TPU serving:
 """
 
 import logging
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import List, Optional
@@ -104,6 +105,13 @@ class ChatterboxTTS:
     # flight (collect overlaps dispatch): two b=64 full-chain graphs exceed
     # HBM together, two b=32 fit (measured r2)
     max_pipelined_batch: int = 32
+    # int8 KV cache with per-token scales in the flash-decode path: halves
+    # the decode loop's dominant HBM read (~1% attention-output error,
+    # measured on hardware -- scripts/probe_int8_cache.py / test_ops.py).
+    # Env override: CHATTERBOX_KV_QUANT=1/0.
+    kv_quant: bool = field(
+        default_factory=lambda: os.environ.get("CHATTERBOX_KV_QUANT", "0") == "1"
+    )
 
     ENC_COND_LEN = 6 * S3_SR  # tts.py:107
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
@@ -614,7 +622,7 @@ class ChatterboxTTS:
         return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
 
     def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig):
-        key = (b, tmax, max_new, sampling, self.mesh is None)
+        key = (b, tmax, max_new, sampling, self.mesh is None, self.kv_quant)
         fn = self._jit_t3.get(key)
         if fn is None:
             cfg = self.t3_cfg
@@ -622,6 +630,7 @@ class ChatterboxTTS:
             # real GSPMD mesh, fall back to the XLA scan step (which GSPMD
             # partitions natively); single-chip keeps the kernel
             use_pallas = self.mesh is None
+            cache_quant = self.kv_quant and use_pallas
 
             @jax.jit
             def run(p, text, lens, spk, prompt, emo, rng):
@@ -630,7 +639,7 @@ class ChatterboxTTS:
                 return t3_generate(
                     p, cfg, text, lens, t3c.speaker_emb, t3c.prompt_tokens,
                     t3c.emotion_adv, rng, sampling, max_new,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, cache_quant=cache_quant,
                 )
 
             fn = run

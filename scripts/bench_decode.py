@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--unroll", type=int, default=1, help="scan_unroll for --impl scan")
     ap.add_argument("--pallas", action="store_true", help="flash-decode kernel in scan mode")
     ap.add_argument("--fuse-qkv", action="store_true", help="one fused qkv matmul per layer")
+    ap.add_argument("--quant", action="store_true", help="int8 KV cache (pallas path)")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -60,14 +61,14 @@ def main():
     lens = np.full((b,), 29, np.int32)
 
     sampling = SamplingConfig(cfg_weight=0.5, min_new_tokens=args.tokens - 1)
-    impl, unroll, pallas = args.impl, args.unroll, args.pallas
+    impl, unroll, pallas, quant = args.impl, args.unroll, args.pallas, args.quant
 
     @jax.jit
     def run(p, text, lens, spk, prompt, emo, key):
         return t3_generate(
             p, cfg, text, lens, spk, prompt, emo, key, sampling,
             max_new_tokens=args.tokens, decode_impl=impl, scan_unroll=unroll,
-            use_pallas=pallas,
+            use_pallas=pallas, cache_quant=quant,
         )
 
     spk = jnp.asarray(rng.standard_normal((b, 256)).astype(np.float32))
@@ -90,6 +91,7 @@ def main():
     per_step_ms = 1000.0 * min(times) / steps
     print(json.dumps({
         "impl": impl, "unroll": unroll, "pallas": pallas, "fuse_qkv": args.fuse_qkv,
+        "quant": quant,
         "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
         "cache_len": -(-(34 + tmax + 2 + args.tokens) // 128) * 128,
         "compile_s": round(compile_s, 1),

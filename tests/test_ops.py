@@ -192,3 +192,42 @@ def test_flash_self_attention_matches_dense(dtype):
         np.asarray(got, np.float32)[:, :, :200],
         np.asarray(ref, np.float32)[:, :, :200], atol=atol,
     )
+
+
+def test_flash_decode_int8_cache_matches_bf16():
+    """int8 (D,S) cache + per-token scales ~= the bf16 kernel: the scale
+    folds into the logits (K) and probs (V) as row multiplies; the bf16 SD
+    tail keeps recent tokens exact. Tolerance reflects int8 rounding (~1%
+    relative on the attention output)."""
+    from chatterbox_tpu.models.t3.llama import quantize_kv
+
+    rng = np.random.default_rng(11)
+    l, b, h, s, d, w = 3, 4, 4, 256, 64, 8
+    cache = jnp.asarray(rng.standard_normal((l, 2, b, h, s, d)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    prefix = np.array([30, 140, 1, 64], np.int32)
+    cur, gap_end = 141, 100
+    mb = (cur // w) * w
+    tail = cache[:, :, :, :, mb : mb + w, :]
+    base = flash_decode_layer_attention(
+        jnp.swapaxes(cache, -1, -2), jnp.int32(1), jnp.int32(cur),
+        jnp.asarray(prefix), jnp.int32(gap_end), q, kn, vn,
+        tail=tail, merge_base=jnp.int32(mb), interpret=True, ds_layout=True,
+    )
+    q8, sc = quantize_kv(cache)
+    got = flash_decode_layer_attention(
+        jnp.swapaxes(q8, -1, -2), jnp.int32(1), jnp.int32(cur),
+        jnp.asarray(prefix), jnp.int32(gap_end), q, kn, vn,
+        tail=tail, merge_base=jnp.int32(mb), scales=sc,
+        interpret=True, ds_layout=True,
+    )
+    got, base = np.asarray(got, np.float32), np.asarray(base, np.float32)
+    rel = np.abs(got - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # round-trip sanity of the quantizer itself
+    deq = np.asarray(q8, np.float32) * np.asarray(sc)[..., None]
+    # half a quant step at gaussian absmax ~4.7: 4.7/127/2 ~= 0.019, plus
+    # bf16 representation noise on the reference values
+    np.testing.assert_allclose(deq, np.asarray(cache, np.float32), atol=0.03)

@@ -202,3 +202,31 @@ def test_forward_loss_runs(jcfg, jparams):
 
     lt, ls = jax.jit(lambda p, b: t3_loss(p, jcfg, b))(jparams, batch)
     assert np.isfinite(float(lt)) and np.isfinite(float(ls))
+
+
+def test_cache_quant_generate_agrees(jcfg, jparams, ref_t3):
+    """The int8 KV cache (cache_quant=True) runs the same decode loop and
+    keeps the greedy token stream identical on this tiny model (quantization
+    noise is far below the logit gaps). A general-purpose guarantee is
+    statistical, not exact -- this gates the plumbing, the A/B probe on
+    hardware gates the numerics at full size."""
+    rng = np.random.default_rng(21)
+    _, speaker, prompt, emotion = _make_cond(ref_t3, rng)
+    body = rng.integers(1, 704, (2, 9))
+    text = np.concatenate(
+        [np.full((2, 1), 255), body, np.zeros((2, 1))], axis=1
+    ).astype(np.int32)
+    common = dict(
+        speaker_emb=jnp.asarray(np.tile(speaker, (2, 1))),
+        prompt_tokens=jnp.asarray(np.tile(prompt, (2, 1))),
+        emotion_adv=jnp.full((2,), emotion),
+        rng=jax.random.PRNGKey(0),
+        sampling=SamplingConfig(greedy=True, cfg_weight=0.5),
+        max_new_tokens=12,
+    )
+    lens = jnp.asarray([11, 11], np.int32)
+    r_bf = t3_generate(jparams, jcfg, jnp.asarray(text), lens, **common)
+    r_q = t3_generate(
+        jparams, jcfg, jnp.asarray(text), lens, cache_quant=True, **common
+    )
+    np.testing.assert_array_equal(np.asarray(r_bf.tokens), np.asarray(r_q.tokens))
