@@ -207,8 +207,11 @@ def hift_decode(
     phase-sensitive stage fp32: the sine-source path upstream, the source
     STFT, and the conv_post -> exp(mag)/sin(phase) -> iSTFT head. A
     whole-vocoder bf16 cast measured 4 dB SNR (CLAUDE.md) -- the damage is
-    in the phase math, not the trunk (split measured ~39 dB,
-    scripts/probe_hift_precision.py).
+    in the phase math, not the trunk (split: 37-44 dB SNR). MEASURED
+    PERF-NEUTRAL on v5e (101.6 fp32 vs 103.1 ms bf16 at b8/500 frames,
+    scripts/probe_hift_precision.py): the vocoder is VPU/transcendental-
+    bound (snake sin^2, exp/sin head), not MXU-bound, so the default stays
+    fp32 and the knob exists for memory-constrained configs only.
     """
     win = dsp.hann_window(cfg.istft_n_fft)
     s_re, s_im = dsp.stft(source, cfg.istft_n_fft, cfg.istft_hop_len, win, center=True)

@@ -117,11 +117,14 @@ def s3gen_wav(
     rng: jax.Array = None,
     phase_noise=None,
     additive_noise=None,
+    hift_dtype=None,
 ):
     """Tokens -> (wav (B, T_wav), wav_lens (B,), source).
 
     noise_mel: (B, 2*(P+T), 80) CFM noise (the reference slices a fixed
     randn buffer; pass the same buffer for allclose parity).
+    hift_dtype: vocoder conv-trunk compute dtype (see hift_decode); None
+    keeps the fully-fp32 reference-parity path.
     """
     mel, mel_mask = flow_inference(
         p["flow"],
@@ -137,7 +140,8 @@ def s3gen_wav(
     mel_len1 = ref.prompt_feat.shape[1]
     gen_mel = mel[:, mel_len1:]  # (B, 2T, 80)
     wav, source = hift_generate(
-        p["hift"], cfg.hift, gen_mel, rng=rng, phase_noise=phase_noise, additive_noise=additive_noise
+        p["hift"], cfg.hift, gen_mel, rng=rng, phase_noise=phase_noise,
+        additive_noise=additive_noise, compute_dtype=hift_dtype,
     )
     # trim-fade the first 20 ms (s3gen.py:232-236, 293-296)
     n = cfg.trim_n

@@ -184,10 +184,11 @@ class _ChunkSynthesizer:
         return fn
 
     def _hift_fn(self, n_frames: int):
-        key = ("stream_hift", n_frames)
+        key = ("stream_hift", n_frames, self.tts.hift_bf16)
         fn = self.tts._jit_s3gen.get(key)
         if fn is None:
             cfg = self.tts.s3gen_cfg
+            hift_dtype = jnp.bfloat16 if self.tts.hift_bf16 else None
 
             @jax.jit
             def fn(p, mel, phase_noise, add_noise, f0_cum):
@@ -195,6 +196,7 @@ class _ChunkSynthesizer:
                     p["hift"], cfg.hift, mel,
                     phase_noise=phase_noise, additive_noise=add_noise,
                     f0_cum_init=f0_cum, return_f0=True,
+                    compute_dtype=hift_dtype,
                 )
 
             self.tts._jit_s3gen[key] = fn

@@ -112,6 +112,13 @@ class ChatterboxTTS:
     kv_quant: bool = field(
         default_factory=lambda: os.environ.get("CHATTERBOX_KV_QUANT", "0") == "1"
     )
+    # bf16 HiFT conv trunk (sine source + exp/sin/iSTFT head stay fp32):
+    # 37-44 dB SNR vs the fp32 vocoder but MEASURED PERF-NEUTRAL on v5e
+    # (the vocoder is VPU-bound; scripts/probe_hift_precision.py) -- halves
+    # vocoder activation memory only. Env: CHATTERBOX_HIFT_BF16=1/0.
+    hift_bf16: bool = field(
+        default_factory=lambda: os.environ.get("CHATTERBOX_HIFT_BF16", "0") == "1"
+    )
 
     ENC_COND_LEN = 6 * S3_SR  # tts.py:107
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
@@ -649,10 +656,11 @@ class ChatterboxTTS:
     def _run_s3gen(self, speech, speech_lens, ref: RefDict, b: int, seed: int):
         p_len = ref.prompt_token.shape[1]
         tbucket = speech.shape[1]
-        key = (b, p_len, tbucket, self.mesh is None)
+        key = (b, p_len, tbucket, self.mesh is None, self.hift_bf16)
         fn = self._jit_s3gen.get(key)
         if fn is None:
             cfg = self.s3gen_cfg
+            hift_dtype = jnp.bfloat16 if self.hift_bf16 else None
             # flash attention lacks a shard_map wrapper; meshed runs take the
             # XLA attention path (GSPMD-partitionable). The module flag is
             # read at trace time -- the first call below traces immediately.
@@ -671,7 +679,10 @@ class ChatterboxTTS:
                         for x in ref
                     ]
                 )
-                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
+                return s3gen_wav(
+                    p, cfg, tokens, lens, ref, noise, rng=rng,
+                    hift_dtype=hift_dtype,
+                )[:2]
 
             fn = run
             self._jit_s3gen[key] = fn

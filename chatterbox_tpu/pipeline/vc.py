@@ -5,6 +5,7 @@ source speech with the S3 tokenizer, re-synthesize through S3Gen with the
 target-voice RefDict, watermark. Batched and bucketed like the TTS pipeline.
 """
 
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import List, Optional
@@ -28,6 +29,10 @@ class ChatterboxVC:
     s3gen_cfg: S3GenConfig = field(default_factory=S3GenConfig)
     ref_dict: Optional[RefDict] = None
     sr: int = S3GEN_SR
+    # bf16 HiFT conv trunk (phase math stays fp32); see pipeline/tts.py
+    hift_bf16: bool = field(
+        default_factory=lambda: os.environ.get("CHATTERBOX_HIFT_BF16", "0") == "1"
+    )
 
     ENC_COND_LEN = 6 * S3_SR
     DEC_COND_LEN = 10 * S3GEN_SR
@@ -117,10 +122,11 @@ class ChatterboxVC:
             ).astype(np.int16)
 
         b = len(srcs)
-        key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1])
+        key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1], self.hift_bf16)
         fn = self._jit.get(key)
         if fn is None:
             cfg = self.s3gen_cfg
+            hift_dtype = jnp.bfloat16 if self.hift_bf16 else None
 
             @jax.jit
             def run(p, wav_pcm, lens, ref, noise, rng):
@@ -138,7 +144,10 @@ class ChatterboxVC:
                 tokens, _ = s3_tokenize(
                     p["tokenizer"], cfg.tokenizer, wav16, wav_lens=lens * 640
                 )
-                return s3gen_wav(p, cfg, tokens, lens, ref, noise, rng=rng)[:2]
+                return s3gen_wav(
+                    p, cfg, tokens, lens, ref, noise, rng=rng,
+                    hift_dtype=hift_dtype,
+                )[:2]
 
             fn = run
             self._jit[key] = fn

@@ -29,7 +29,7 @@ def main():
     bias = jnp.zeros((b, t), jnp.float32)
 
     ref = None
-    for tq, hb in [(256, 1), (768, 1), (256, 2), (256, 4), (768, 4), (256, 8), (768, 8), (384, 8)]:
+    for tq, hb in [(256, 4), (768, 1), (768, 2), (768, 4), (768, 8), (384, 4), (384, 8), (256, 8), (128, 8)]:
         try:
             fn = jax.jit(
                 lambda q, k, v, bias, tq=tq, hb=hb: jnp.sum(
