@@ -123,3 +123,37 @@ def ve_embed_utterance(p, cfg: VoiceEncoderConfig, wav16: jnp.ndarray) -> jnp.nd
     embeds_from_wavs -> embeds_from_mels (voice_encoder.py:246-274)."""
     mels = ve_mel_spectrogram(wav16).transpose(0, 2, 1)  # (B, T_mel, 40)
     return ve_embed_from_mels(p, cfg, mels)
+
+
+def ve_embed_from_wavs(
+    p,
+    cfg: VoiceEncoderConfig,
+    wavs,
+    sample_rate: int,
+    trim_top_db: float = 20.0,
+) -> jnp.ndarray:
+    """Arbitrary-rate host wavs -> (B, 256) embeddings: the full
+    ``VoiceEncoder.embeds_from_wavs`` surface (voice_encoder.py:246-274).
+
+    Resamples to 16 kHz with the kaiser_fast filter design when needed
+    (voice_encoder.py:262 — dormant in the reference's live TTS pipeline,
+    which feeds 16 kHz audio at tts.py:198), then trims silence at
+    ``trim_top_db`` (voice_encoder.py:267) before the mel/partials path.
+    Each wav is embedded separately (trim makes lengths ragged).
+    """
+    import numpy as np
+
+    from ..core.resample import resample
+    from ..pipeline.audio import trim_silence
+
+    if isinstance(wavs, np.ndarray) and wavs.ndim == 1:
+        wavs = [wavs]
+    outs = []
+    for wav in wavs:
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        if sample_rate != cfg.sample_rate:
+            wav = np.asarray(resample(jnp.asarray(wav), sample_rate, cfg.sample_rate, quality="kaiser_fast"))
+        if trim_top_db:
+            wav = trim_silence(wav, top_db=trim_top_db)
+        outs.append(ve_embed_utterance(p, cfg, jnp.asarray(wav)[None])[0])
+    return jnp.stack(outs)

@@ -97,3 +97,81 @@ def test_native_roundtrip_preserves_configs(tmp_path):
     assert tts2.s3gen_cfg.tokenizer == odd_tok
     assert tts2.t3_cfg == TINY_T3
     assert tts2.s3gen_cfg == s3
+
+
+def _tiny_t3_cfg():
+    from chatterbox_tpu.models.t3.llama import LlamaConfig
+    from chatterbox_tpu.models.t3.t3 import T3Config
+
+    return T3Config(
+        llama=LlamaConfig(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            head_dim=16,
+        )
+    )
+
+
+def _tiny_batch(rng, b=2):
+    return {
+        "speaker_emb": jnp.asarray(rng.standard_normal((b, 256)), jnp.float32),
+        "prompt_tokens": jnp.asarray(rng.integers(0, 100, (b, 150)), jnp.int32),
+        "emotion_adv": jnp.full((b,), 0.5, jnp.float32),
+        "text_tokens": jnp.asarray(rng.integers(0, 100, (b, 16)), jnp.int32),
+        "text_lens": jnp.full((b,), 16, jnp.int32),
+        "speech_tokens": jnp.asarray(rng.integers(0, 100, (b, 24)), jnp.int32),
+        "speech_lens": jnp.full((b,), 24, jnp.int32),
+    }
+
+
+def test_trainer_checkpoint_resume_exact(tmp_path):
+    """Killing a run after step 2 and resuming from its checkpoint produces
+    bit-identical params and losses to the uninterrupted 4-step run."""
+    from chatterbox_tpu.models.t3.t3 import init_t3
+    from chatterbox_tpu.train.trainer import T3Trainer
+
+    cfg = _tiny_t3_cfg()
+    rng = np.random.default_rng(0)
+    batches = [_tiny_batch(rng) for _ in range(4)]
+
+    tr = T3Trainer(cfg, init_t3(jax.random.PRNGKey(0), cfg), learning_rate=1e-3)
+    losses = [tr.step(b)["loss"] for b in batches[:2]]
+    ckpt = tmp_path / "train_state.safetensors"
+    tr.save(ckpt)
+    losses += [tr.step(b)["loss"] for b in batches[2:]]
+    assert all(np.isfinite(l) for l in losses)
+
+    tr2 = T3Trainer.resume(ckpt, cfg, init_t3(jax.random.PRNGKey(7), cfg), learning_rate=1e-3)
+    assert tr2.step_num == 2
+    resumed = [tr2.step(b)["loss"] for b in batches[2:]]
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(losses[2:]))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params), jax.tree_util.tree_leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_load_rejects_mismatched_config(tmp_path):
+    from chatterbox_tpu.models.t3.llama import LlamaConfig
+    from chatterbox_tpu.models.t3.t3 import T3Config, init_t3
+    from chatterbox_tpu.train.trainer import T3Trainer
+
+    cfg = _tiny_t3_cfg()
+    tr = T3Trainer(cfg, init_t3(jax.random.PRNGKey(0), cfg))
+    ckpt = tmp_path / "s.safetensors"
+    tr.save(ckpt)
+
+    other = T3Config(
+        llama=LlamaConfig(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,  # different depth
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            head_dim=16,
+        )
+    )
+    tr2 = T3Trainer(other, init_t3(jax.random.PRNGKey(0), other))
+    with pytest.raises(AssertionError):
+        tr2.load(ckpt)

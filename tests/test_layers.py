@@ -142,3 +142,71 @@ def test_resample_vs_torch_manual():
     assert abs(freq[spec.argmax()] - 440) < 3
     # amplitude preserved
     assert 0.9 < np.abs(y2[2000:14000]).max() < 1.1
+
+
+def test_resample_kaiser_fast_matches_bruteforce():
+    """quality="kaiser_fast" equals a direct evaluation of the resampy
+    kaiser_fast continuous filter: y[n] = sum_k x[k] * r * h((k - n/r) * r),
+    h(x) = rolloff*sinc(rolloff*x)*kaiser(x/N; beta), r = sr_new/sr_orig < 1
+    (resampy/filters.py design: N=16, rolloff=0.85, beta=8.5555...)."""
+    from chatterbox_tpu.core.resample import resample
+
+    rng = np.random.default_rng(3)
+    n_in, orig, new = 480, 24000, 16000
+    x = rng.standard_normal(n_in).astype(np.float64)
+
+    N, roll, beta = 16, 0.85, 8.555504641634386
+    ratio = new / orig
+    n_out = int(np.ceil(n_in * new / orig))
+    want = np.zeros(n_out)
+    for n in range(n_out):
+        u = n / ratio
+        for k in range(n_in):
+            t = (k - u) * ratio
+            if abs(t) >= N:
+                continue
+            w = np.i0(beta * np.sqrt(1.0 - (t / N) ** 2)) / np.i0(beta)
+            want[n] += x[k] * ratio * roll * np.sinc(roll * t) * w
+
+    got = np.asarray(resample(jnp.asarray(x.astype(np.float32)), orig, new, quality="kaiser_fast"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_resample_kaiser_fast_antialias_quality():
+    """An 11 kHz tone (above the 8 kHz target Nyquist) must be strongly
+    attenuated; a 440 Hz passband tone must survive at full amplitude."""
+    from chatterbox_tpu.core.resample import resample
+
+    t = np.arange(24000) / 24000
+    alias = np.sin(2 * np.pi * 11000 * t).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(alias), 24000, 16000, quality="kaiser_fast"))
+    assert np.abs(y[1000:15000]).max() < 0.02  # > 34 dB rejection
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y2 = np.asarray(resample(jnp.asarray(tone), 24000, 16000, quality="kaiser_fast"))
+    assert 0.95 < np.abs(y2[2000:14000]).max() < 1.05
+
+
+def test_ve_embed_from_wavs_resamples():
+    """ve_embed_from_wavs at 24 kHz ~= embedding of the same audio natively
+    at 16 kHz (the reference's dormant kaiser_fast branch, v_e.py:262)."""
+    import jax
+
+    from chatterbox_tpu.models.voice_encoder import (
+        VoiceEncoderConfig,
+        init_voice_encoder,
+        ve_embed_from_wavs,
+    )
+
+    cfg = VoiceEncoderConfig()
+    p = init_voice_encoder(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    t24 = np.arange(32000) / 24000
+    wav24 = (0.3 * np.sin(2 * np.pi * 220 * t24) + 0.05 * rng.standard_normal(len(t24))).astype(np.float32)
+    t16 = np.arange(int(len(t24) * 2 / 3)) / 16000
+    wav16 = (0.3 * np.sin(2 * np.pi * 220 * t16) + 0.05 * rng.standard_normal(len(t16))).astype(np.float32)
+
+    e24 = np.asarray(ve_embed_from_wavs(p, cfg, [wav24], 24000))
+    e16 = np.asarray(ve_embed_from_wavs(p, cfg, [wav16], 16000))
+    assert e24.shape == (1, 256) and e16.shape == (1, 256)
+    sim = float((e24 * e16).sum())
+    assert sim > 0.99, sim
