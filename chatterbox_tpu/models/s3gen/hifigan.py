@@ -139,11 +139,27 @@ def init_hift(key, cfg: HiFTConfig = HiFTConfig()):
 # ---------------------------------------------------------------------------
 
 
-def f0_predict(p, mel: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, 80) mel -> (B, T) f0 in Hz. Mirrors f0_predictor.py:52-55."""
+def _len_mask(lens, t, dtype=jnp.float32):
+    """(B,) valid lengths -> (B, t, 1) {0,1} mask."""
+    return (jnp.arange(t)[None, :] < lens[:, None]).astype(dtype)[..., None]
+
+
+def f0_predict(p, mel: jnp.ndarray, n_valid: jnp.ndarray = None) -> jnp.ndarray:
+    """(B, T, 80) mel -> (B, T) f0 in Hz. Mirrors f0_predictor.py:52-55.
+
+    ``n_valid`` (B,): when rows are right-padded, zero each conv's output in
+    the pad region so conv windows near a row's boundary read zeros --
+    exactly what the reference's exact-length run sees from conv zero
+    padding (bias junk in the pad region otherwise bleeds back into the
+    last ~5 valid frames)."""
     x = mel
+    m = None if n_valid is None else _len_mask(n_valid, mel.shape[1], mel.dtype)
+    if m is not None:
+        x = x * m
     for cp in p["convs"]:
         x = jax.nn.elu(conv1d(cp, x, padding=1))
+        if m is not None:
+            x = x * m
     return jnp.abs(linear(p["classifier"], x)[..., 0])
 
 
@@ -183,24 +199,44 @@ def sine_source(
     return src.transpose(0, 2, 1)  # (B, L, H+1)
 
 
-def _resblock(p, x, kernel, dilations, snake_act=snake):
+def _resblock(p, x, kernel, dilations, snake_act=snake, mask=None):
+    """``mask`` (B, T, 1): zero the pad region after each conv so dilated
+    windows near a row's valid boundary read zeros (= the exact-length
+    run's conv zero padding). snake(0) == 0, so only conv biases need it."""
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], p["alphas1"], p["alphas2"], dilations):
         xt = snake_act(a1, x)
         pad = (kernel * d - d) // 2
         xt = conv1d(c1, xt, padding=pad, dilation=d)
+        if mask is not None:
+            xt = xt * mask
         xt = snake_act(a2, xt)
         xt = conv1d(c2, xt, padding=(kernel - 1) // 2)
+        if mask is not None:
+            xt = xt * mask
         x = xt + x
     return x
 
 
 def hift_decode(
     p, cfg: HiFTConfig, mel: jnp.ndarray, source: jnp.ndarray,
-    compute_dtype=None,
+    compute_dtype=None, n_valid: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """(B, T, 80) mel + (B, T*480) merged source -> (B, T*480) waveform.
 
     Deterministic part of the vocoder; mirrors hifigan.py:412-444.
+
+    ``n_valid`` (B,) valid mel frames per row (None = all): masked vocoding
+    for right-padded batches. The vocoder's convs are NOT causal, so junk
+    mel frames in the pad region otherwise bleed backwards into the tail of
+    the valid audio (measured: O(signal) contamination over the last ~0.2 s
+    at the 64-token bucket). Zeroing every conv's pad-region output makes
+    each row's valid samples equal its exact-length vocoding -- a conv
+    window crossing the boundary then reads zeros, exactly what exact-length
+    conv zero-padding provides -- except (a) the last <=~n_fft output
+    samples (iSTFT overlap-add straddles the boundary) and (b) an O(1e-3)
+    source-STFT edge effect (center=True reflect padding mirrors real
+    samples in the exact run vs zeros here); both measured in
+    tests/test_hifigan.py::test_padded_masked_matches_exact.
 
     ``compute_dtype=jnp.bfloat16`` runs the conv trunk (upsamples +
     resblocks -- the vocoder's FLOPs) in bf16 while keeping every
@@ -217,6 +253,27 @@ def hift_decode(
     s_re, s_im = dsp.stft(source, cfg.istft_n_fft, cfg.istft_hop_len, win, center=True)
     s_stft = jnp.concatenate([s_re, s_im], axis=-1)  # (B, T*120+1, 18)
 
+    t_mel = mel.shape[1]
+    masks = None
+    if n_valid is not None:
+        # per-resolution valid lengths: mel (T), stage outputs (8T, 40T,
+        # 120T+1 after the reflect-prepend), source STFT frames (120T+1)
+        stage_mult = np.cumprod(cfg.upsample_rates)  # 8, 40, 120
+        masks = {
+            "mel": _len_mask(n_valid, t_mel, mel.dtype),
+            "stft": _len_mask(
+                n_valid * int(stage_mult[-1]) + 1, s_stft.shape[1], mel.dtype
+            ),
+            "stages": [],
+        }
+        for i, m in enumerate(stage_mult):
+            extra = 1 if i == len(cfg.upsample_rates) - 1 else 0
+            masks["stages"].append(
+                _len_mask(n_valid * int(m) + extra, t_mel * int(m) + extra, mel.dtype)
+            )
+        mel = mel * masks["mel"]
+        s_stft = s_stft * masks["stft"]
+
     if compute_dtype is not None:
         from ...runtime.precision import cast_floating
 
@@ -229,20 +286,28 @@ def hift_decode(
         s_stft = s_stft.astype(compute_dtype)
 
     x = conv1d(p["conv_pre"], mel, padding=3)
+    if masks is not None:
+        x = x * masks["mel"].astype(x.dtype)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        sm = None if masks is None else masks["stages"][i]
         x = leaky_relu(x, cfg.lrelu_slope)
         x = conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
         if i == len(cfg.upsample_rates) - 1:
             # reflection_pad (1, 0) on the time axis (hifigan.py:378,422)
             x = jnp.concatenate([x[:, 1:2], x], axis=1)
+        if sm is not None:
+            x = x * sm.astype(x.dtype)
         dk, ds, dpad = cfg.source_down_specs[i]
         si = conv1d(p["source_downs"][i], s_stft, stride=ds, padding=dpad)
+        if sm is not None:
+            si = si * sm[:, : si.shape[1]].astype(si.dtype)
         si = _resblock(
             p["source_resblocks"][i],
             si,
             cfg.source_resblock_kernel_sizes[i],
             cfg.source_resblock_dilation_sizes[i],
+            mask=None if sm is None else sm[:, : si.shape[1]],
         )
         x = x + si[:, : x.shape[1]]
         xs = None
@@ -252,6 +317,7 @@ def hift_decode(
                 x,
                 cfg.resblock_kernel_sizes[j],
                 cfg.resblock_dilation_sizes[j],
+                mask=sm,
             )
             xs = r if xs is None else xs + r
         x = xs / num_kernels
@@ -262,9 +328,17 @@ def hift_decode(
     n_freq = cfg.istft_n_fft // 2 + 1
     magnitude = jnp.clip(jnp.exp(x[..., :n_freq]), max=1e2)
     phase = jnp.sin(x[..., n_freq:])  # reference applies sin (hifigan.py:440)
+    re = magnitude * jnp.cos(phase)
+    im = magnitude * jnp.sin(phase)
+    if masks is not None:
+        # pad-region frames hold exp(0)=1 junk after masking upstream; zero
+        # the synthesized spectra so OLA only leaks into the <= n_fft
+        # samples that straddle the valid boundary
+        fm = masks["stages"][-1].astype(re.dtype)
+        re, im = re * fm, im * fm
     wav = dsp.istft(
-        magnitude * jnp.cos(phase),
-        magnitude * jnp.sin(phase),
+        re,
+        im,
         cfg.istft_n_fft,
         cfg.istft_hop_len,
         win,
@@ -283,6 +357,7 @@ def hift_generate(
     f0_cum_init: jnp.ndarray = None,
     return_f0: bool = False,
     compute_dtype=None,
+    n_valid: jnp.ndarray = None,
 ):
     """Full vocoder: (B, T, 80) mel -> ((B, T*480) wav, (B, T*480) source).
 
@@ -291,9 +366,13 @@ def hift_generate(
     hifigan.py:462-474 `inference` (without streaming cache_source, which is
     dormant in the pipeline -- s3gen.py:251). ``compute_dtype``: see
     hift_decode (f0 prediction and the sine source always stay fp32).
+    ``n_valid`` (B,) valid mel frames: masked vocoding for right-padded
+    batches (see hift_decode) -- each row's valid samples then equal its
+    exact-length vocoding instead of being contaminated by pad-region junk
+    through the non-causal conv stacks.
     """
     b, t, _ = mel.shape
-    f0 = f0_predict(p["f0_predictor"], mel)  # (B, T)
+    f0 = f0_predict(p["f0_predictor"], mel, n_valid=n_valid)  # (B, T)
     ups = cfg.upsample_total
     f0_up = jnp.repeat(f0, ups, axis=1)  # nearest upsample (B, T*480)
     h = cfg.nb_harmonics + 1
@@ -303,7 +382,11 @@ def hift_generate(
         additive_noise = jax.random.normal(k2, (b, h, t * ups))
     src_h = sine_source(cfg, f0_up, phase_noise, additive_noise, f0_cum_init)  # (B, L, H+1)
     source = jnp.tanh(linear(p["m_source_linear"], src_h))[..., 0]  # (B, L)
-    wav = hift_decode(p, cfg, mel, source, compute_dtype=compute_dtype)
+    if n_valid is not None:
+        # zero the pad-region source (tanh(bias) + pad-noise junk) before
+        # its STFT feeds the fusion path
+        source = source * _len_mask(n_valid * ups, source.shape[1], source.dtype)[..., 0]
+    wav = hift_decode(p, cfg, mel, source, compute_dtype=compute_dtype, n_valid=n_valid)
     if return_f0:
         return wav, source, f0
     return wav, source

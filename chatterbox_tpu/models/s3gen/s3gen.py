@@ -142,6 +142,10 @@ def s3gen_wav(
     wav, source = hift_generate(
         p["hift"], cfg.hift, gen_mel, rng=rng, phase_noise=phase_noise,
         additive_noise=additive_noise, compute_dtype=hift_dtype,
+        # masked vocoding: rows are right-padded to the token bucket, and
+        # the vocoder's non-causal convs otherwise bleed pad-region junk
+        # back into the tail of each row's valid audio (see hift_decode)
+        n_valid=(2 * token_lens).astype(jnp.int32),
     )
     # trim-fade the first 20 ms (s3gen.py:232-236, 293-296)
     n = cfg.trim_n

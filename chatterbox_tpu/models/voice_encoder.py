@@ -139,7 +139,12 @@ def ve_embed_from_wavs(
     (voice_encoder.py:262 — dormant in the reference's live TTS pipeline,
     which feeds 16 kHz audio at tts.py:198), then trims silence at
     ``trim_top_db`` (voice_encoder.py:267) before the mel/partials path.
-    Each wav is embedded separately (trim makes lengths ragged).
+
+    Host-side parity API only: each wav is embedded at its exact trimmed
+    length, so every distinct length triggers a fresh trace/compile of the
+    mel+LSTM path. Do NOT feed this from the serving path — the batched TTS
+    path buckets wav lengths and masks via ``ve_embed_from_mels``'s
+    ``n_valid_windows`` instead.
     """
     import numpy as np
 

@@ -174,6 +174,11 @@ class ChatterboxTTS:
         t3_cfg, s3gen_cfg, ve_cfg = T3Config(), S3GenConfig(), VoiceEncoderConfig()
         ve_sd = load_safetensors(ckpt_dir / "ve.safetensors")
         t3_sd = load_safetensors(ckpt_dir / "t3_cfg.safetensors")
+        # the reference defensively unwraps a "model"-keyed t3 state
+        # (tts.py:146-147); the safetensors-representable variant of that is
+        # a uniform "model." key prefix -- strip it if present
+        if t3_sd and all(k.startswith("model.") for k in t3_sd):
+            t3_sd = {k[len("model."):]: v for k, v in t3_sd.items()}
         s3_sd = load_safetensors(ckpt_dir / "s3gen.safetensors")
         from ..models.s3gen.s3gen import infer_s3gen_config
 
@@ -378,6 +383,7 @@ class ChatterboxTTS:
         max_new_tokens: int = 1000,
         min_new_tokens: int = 0,
         num_return_sequences: int = 1,
+        greedy: bool = False,
     ) -> np.ndarray:
         """Single-utterance API-parity generate (tts.py:208-272) -> (k, T)
         with k = ``num_return_sequences`` (k=1 default -> (1, T)).
@@ -398,6 +404,7 @@ class ChatterboxTTS:
             seed=seed,
             max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens,
+            greedy=greedy,
         )
         t = max(len(w) for w in wavs)
         out = np.zeros((len(wavs), t), np.float32)
@@ -418,6 +425,7 @@ class ChatterboxTTS:
         seed: int = 0,
         max_new_tokens: int = 1000,
         min_new_tokens: int = 0,
+        greedy: bool = False,
         device_chain: bool = False,
         defer_collect: bool = False,
     ) -> List[np.ndarray]:
@@ -452,6 +460,7 @@ class ChatterboxTTS:
                 seed=seed,
                 max_new_tokens=max_new_tokens,
                 min_new_tokens=min_new_tokens,
+                greedy=greedy,
             )
             return [w for chunk in rows for w in chunk]
         tok_rows = [self._cap_text_row(self._encode_text(t)) for t in texts]
@@ -468,6 +477,7 @@ class ChatterboxTTS:
             repetition_penalty=repetition_penalty,
             cfg_weight=cfg_weight,
             min_new_tokens=min_new_tokens,
+            greedy=greedy,
         )
 
         t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling)

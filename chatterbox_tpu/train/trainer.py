@@ -60,18 +60,29 @@ class T3Trainer:
         dtype and sharding (bf16 leaves round-trip through f32 on disk).
         """
         tensors = load_safetensors(path)
-        self.step_num = int(tensors.pop("__step__"))
+        self.step_num = int(np.asarray(tensors.pop("__step__")).reshape(-1)[0])
         template = self._state()
         leaves, treedef = jax.tree_util.tree_flatten(template)
-        assert len(leaves) == len(tensors), (
-            f"checkpoint has {len(tensors)} leaves, state needs {len(leaves)} "
-            "(config/optimizer mismatch?)"
-        )
+        if len(leaves) != len(tensors):
+            raise ValueError(
+                f"checkpoint has {len(tensors)} leaves, state needs {len(leaves)} "
+                "(config/optimizer mismatch?)"
+            )
         restored = []
         for i, tmpl in enumerate(leaves):
             arr = tensors[f"leaf_{i:05d}"]
-            # the reader returns 0-d tensors as shape (1,); match by size
-            assert np.size(arr) == np.size(tmpl), (i, arr.shape, np.shape(tmpl))
+            tmpl_shape = np.shape(tmpl)
+            # the reader returns 0-d tensors as shape (1,); accept that one quirk
+            # but otherwise require exact shapes (size-only checks let a config
+            # change silently reshape into the wrong layout)
+            shapes_ok = arr.shape == tmpl_shape or (
+                tmpl_shape == () and arr.shape == (1,)
+            )
+            if not shapes_ok:
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {arr.shape}, "
+                    f"state needs {tmpl_shape}"
+                )
             arr = np.reshape(arr, np.shape(tmpl))
             dtype = getattr(tmpl, "dtype", None)
             arr = jnp.asarray(arr, dtype)

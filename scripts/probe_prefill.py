@@ -12,13 +12,16 @@ import jax.numpy as jnp
 
 from chatterbox_tpu.core.sampling import SamplingConfig
 from chatterbox_tpu.models.t3.t3 import T3Config, init_t3, t3_generate
+from chatterbox_tpu.models.t3.llama import fuse_qkv_params
 from chatterbox_tpu.runtime.fast_init import synthetic_init
-from chatterbox_tpu.runtime.precision import apply_tts_precision
+from chatterbox_tpu.runtime.precision import cast_floating_jit
 
 B, TT = 8, 64
 cfg = T3Config()
 params = synthetic_init(lambda k: init_t3(k, cfg), dtype=jnp.bfloat16)
-params = apply_tts_precision(params)
+params = cast_floating_jit(params, jnp.bfloat16)
+params = dict(params)
+params["llama"] = jax.jit(fuse_qkv_params)(params["llama"])
 
 rng = np.random.default_rng(0)
 text = jnp.asarray(rng.integers(10, 200, (B, TT)), jnp.int32)

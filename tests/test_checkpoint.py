@@ -173,5 +173,28 @@ def test_trainer_load_rejects_mismatched_config(tmp_path):
         )
     )
     tr2 = T3Trainer(other, init_t3(jax.random.PRNGKey(0), other))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
+        tr2.load(ckpt)
+
+
+def test_trainer_load_rejects_same_size_different_shape(tmp_path):
+    """A config change preserving leaf count AND per-leaf element count must
+    not silently reshape into the wrong layout (r2 advisor finding)."""
+    from chatterbox_tpu.models.t3.t3 import init_t3
+    from chatterbox_tpu.train.trainer import T3Trainer
+
+    cfg = _tiny_t3_cfg()
+    tr = T3Trainer(cfg, init_t3(jax.random.PRNGKey(0), cfg))
+    ckpt = tmp_path / "s.safetensors"
+    tr.save(ckpt)
+
+    tr2 = T3Trainer(cfg, init_t3(jax.random.PRNGKey(1), cfg))
+    # transpose one 2-D leaf's template shape in place: same size, new shape
+    leaves, treedef = jax.tree_util.tree_flatten(tr2.params)
+    for i, leaf in enumerate(leaves):
+        if leaf.ndim == 2 and leaf.shape[0] != leaf.shape[1]:
+            leaves[i] = leaf.T
+            break
+    tr2.params = jax.tree_util.tree_unflatten(treedef, leaves)
+    with pytest.raises(ValueError):
         tr2.load(ckpt)
