@@ -67,9 +67,36 @@ def _attn(p, x, n_heads, key_bias=None, use_flash=None):
     QKV projections are fused into one matmul (better MXU tiling at these
     small channel counts); converters emit the fused "to_qkv" weight.
 
-    Default path is the fused Pallas kernel (ops/flash_attention.py): the
-    dense XLA version materializes (B, H, T, T) f32 logits -- ~16 GB of HBM
-    round-trips per UNet pass at T=750/16 rows, the measured r1 bottleneck."""
+    Default path is the PACKED Pallas kernel (ops/flash_attention.py): it
+    consumes the to_qkv GEMM output directly in (B, T, 3*H*D) layout and
+    emits (B, T, H*D) for to_out -- no (B,H,T,D) head transposes, which are
+    physical HBM copies across the custom-call boundary (measured
+    1.2 ms/block at 64 CFG rows, the source of the CFM's superlinear batch
+    scaling in r2). The dense XLA fallback materializes (B, H, T, T) f32
+    logits -- ~16 GB of HBM round-trips per UNet pass at T=750/16 rows, the
+    measured r1 bottleneck."""
+    if use_flash is None:
+        use_flash = FLASH_ATTENTION
+    inner = p["to_qkv"]["w"].shape[1] // 3 if "to_qkv" in p else 0
+    if use_flash and inner % 128 == 0:
+        from ...ops.flash_attention import flash_self_attention_packed
+
+        t = x.shape[1]
+        tp = -(-t // 128) * 128
+        qkv = linear(p["to_qkv"], x)
+        if tp != t:
+            qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
+        bias = (
+            key_bias.astype(jnp.float32)
+            if key_bias is not None
+            else jnp.zeros((x.shape[0], t), jnp.float32)
+        )
+        bias = jnp.pad(bias, ((0, 0), (0, tp - t)), constant_values=-1.0e10)
+        out = flash_self_attention_packed(
+            qkv, bias, n_heads=n_heads,
+            interpret=jax.default_backend() == "cpu",
+        )[:, :t]
+        return linear(p["to_out"], out)
     if "to_qkv" in p:
         qkv = linear(p["to_qkv"], x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -78,8 +105,6 @@ def _attn(p, x, n_heads, key_bias=None, use_flash=None):
         q = split_heads(linear(p["to_q"], x), n_heads)
         k = split_heads(linear(p["to_k"], x), n_heads)
         v = split_heads(linear(p["to_v"], x), n_heads)
-    if use_flash is None:
-        use_flash = FLASH_ATTENTION
     if use_flash:
         from ...ops.flash_attention import flash_self_attention
 

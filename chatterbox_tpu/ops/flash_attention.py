@@ -28,11 +28,25 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 
-def _pick_q_block(t: int) -> int:
+def _pick_q_block(t: int, h_blk: int = 4, itemsize: int = 2) -> int:
+    """Full-T q blocks win when they fit VMEM: (768, 4) measured 0.254 ms vs
+    (256, 4) 0.286 at the live bf16 b8 shape (slope-timed, r3) -- fewer grid
+    steps, bigger dots. VMEM estimate per cell: double-buffered q/k/v/out
+    (h_blk heads, 64-wide) + the per-head (tq, t) f32 logits tile; 16 MB
+    scoped limit, leave headroom (an f32 768-block run measured 17.3M and
+    OOM'd compile)."""
+
+    def fits(tq):
+        qkvo = 2 * h_blk * (tq + 3 * t) * 64 * itemsize
+        # ~3 live (tq, t) f32 tiles (logits, p, exp temp); 16 MB scoped VMEM
+        return qkvo + 3 * tq * t * 4 <= 10_800_000
+
+    if t <= 1024 and fits(t):
+        return t
     for cand in (512, 256, 128):
-        if t % cand == 0:
+        if t % cand == 0 and fits(cand):
             return cand
-    return t
+    return 128 if t % 128 == 0 else t
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
@@ -59,6 +73,99 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
         o_ref[0, hh] = (out / l).astype(o_ref.dtype)
 
 
+def _packed_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, bias_ref, o_ref, *, n_heads, d):
+    """Per-cell: q block (tq, H*D) + full-length k/v (T, H*D), all three
+    SLICES OF THE PACKED (B, T, 3*H*D) qkv array -- no head transpose ever
+    materializes. Heads are 64-aligned lane VALUE slices (measured to lower
+    on this Mosaic, r3 probe); per-head math is the same row-form 2-D
+    dot/softmax as _kernel."""
+    xq = qkv_q_ref[0]  # (tq, H*D)
+    xk = qkv_k_ref[0]  # (T, H*D)
+    xv = qkv_v_ref[0]
+    bias = bias_ref[0, 0:1, :]  # (1, T)
+    scale = 1.0 / np.sqrt(d)
+    outs = []
+    for hh in range(n_heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = xq[:, sl]
+        k = xk[:, sl]
+        v = xv[:, sl]
+        logits = (
+            lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+            + bias
+        )  # (tq, T)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        out = lax.dot_general(
+            (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tq, D)
+        outs.append(out)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _pick_q_block_packed(t: int, hd: int, itemsize: int) -> int:
+    def fits(tq):
+        kv = 2 * 2 * t * hd * itemsize  # double-buffered k/v blocks
+        q_o = 2 * (tq * hd * itemsize * 2)
+        return kv + q_o + 3 * tq * t * 4 <= 10_800_000
+
+    if fits(t):
+        return t
+    for cand in (512, 256, 128):
+        if t % cand == 0 and fits(cand):
+            return cand
+    return 128
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret", "q_block"))
+def flash_self_attention_packed(
+    qkv, key_bias=None, n_heads: int = 8, interpret: bool = False, q_block: int = 0
+):
+    """Fused self-attention reading the PACKED projection output directly.
+
+    qkv (B, T, 3*H*D) = the to_qkv GEMM output, T % 128 == 0; returns
+    (B, T, H*D) ready for the output projection. Exact softmax, full
+    (non-causal) attention with an additive (B, T) key bias.
+
+    Why: the (B,T,H,D)->(B,H,T,D) head transposes around the unpacked
+    kernel are physical HBM copies that cannot fuse across the custom-call
+    boundary -- measured 1.2 ms/block at 64 CFG rows (~half the in-graph
+    attention cost, and the source of the CFM's superlinear batch scaling).
+    This kernel's operands are lane-dim BLOCKS of the qkv array itself
+    (q cols [0, HD), k [HD, 2HD), v [2HD, 3HD)); heads are 64-aligned lane
+    value slices in VMEM (measured to lower on this Mosaic, r3)."""
+    b, t, chd = qkv.shape
+    assert t % 128 == 0, t
+    hd = chd // 3
+    d = hd // n_heads
+    tq = int(q_block) if q_block else _pick_q_block_packed(t, hd, qkv.dtype.itemsize)
+    assert t % tq == 0, (t, tq)
+    grid = (b, t // tq)
+
+    if key_bias is None:
+        key_bias = jnp.zeros((b, t), jnp.float32)
+    bias3 = jnp.tile(key_bias.astype(jnp.float32)[:, None, :], (1, 8, 1))
+
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, n_heads=n_heads, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, hd), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, t, hd), lambda bi, qi: (bi, 0, 1)),
+            pl.BlockSpec((1, t, hd), lambda bi, qi: (bi, 0, 2)),
+            pl.BlockSpec((1, 8, t), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, hd), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, hd), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias3)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "q_block", "heads_per_cell")
 )
@@ -80,8 +187,8 @@ def flash_self_attention(
     unwritten)."""
     b, h, t, d = q.shape
     assert t % 128 == 0, t
-    tq = int(q_block) if q_block else _pick_q_block(t)
     h_blk = int(heads_per_cell)
+    tq = int(q_block) if q_block else _pick_q_block(t, h_blk, q.dtype.itemsize)
     assert h % h_blk == 0 and t % tq == 0, (h, h_blk, t, tq)
     grid = (b, h // h_blk, t // tq)
 

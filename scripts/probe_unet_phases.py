@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--rows", type=int, default=16)
     ap.add_argument("--t", type=int, default=768)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,11 +99,23 @@ def main():
         for c in ctxs:
             c.start()
         try:
-            fn = jax.jit(
-                lambda p, x, mu, spks, cond, tt: jnp.sum(
-                    unet_forward(p, cfg, x, mu, spks, cond, tt, mask).astype(jnp.float32)
-                )
-            )
+            # K passes inside ONE jit: this tunnel's per-dispatch overhead
+            # measured 28-35 ms in r3 (was 1-3 ms in r2) and would swamp a
+            # single ~20 ms pass
+            K = args.reps
+
+            def rep(p, x, mu, spks, cond, tt):
+                def body(xx, _):
+                    y = unet_forward(p, cfg, xx, mu, spks, cond, tt, mask)
+                    pad = cfg.in_channels // 4 - cfg.out_channels
+                    if pad:
+                        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
+                    return (x + y * 1e-3).astype(x.dtype), None
+
+                xx, _ = jax.lax.scan(body, x, None, length=K)
+                return jnp.sum(xx.astype(jnp.float32))
+
+            fn = jax.jit(rep)
             t0 = time.time()
             _ = float(fn(params, x, mu, spks, cond, tt))
             compile_s = time.time() - t0
@@ -110,7 +123,7 @@ def main():
             for _ in range(args.iters):
                 t0 = time.time()
                 _ = float(fn(params, x, mu, spks, cond, tt))
-                times.append(time.time() - t0)
+                times.append((time.time() - t0) / K)
             results[name] = min(times)
             log(f"{name}: {1000 * min(times):.2f} ms (compile {compile_s:.0f}s)")
         finally:

@@ -194,6 +194,36 @@ def test_flash_self_attention_matches_dense(dtype):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_self_attention_packed_matches_dense(dtype):
+    """The packed kernel (qkv in (B, T, 3*H*D), heads as 64-aligned lane
+    slices, no head transposes) must match dense attention."""
+    from chatterbox_tpu.ops.flash_attention import flash_self_attention_packed
+
+    rng = np.random.default_rng(6)
+    b, h, t, d = 2, 4, 256, 64
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * h * d)), dtype)
+    lens = np.array([200, 256])
+    bias = jnp.where(np.arange(t)[None] < lens[:, None], 0.0, -1.0e10).astype(jnp.float32)
+
+    def heads(x):
+        return x.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+    q, k, v = (heads(qkv[:, :, i * h * d : (i + 1) * h * d]) for i in range(3))
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) * scale
+    logits = logits + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    ref = jnp.einsum("bhts,bhsd->bhtd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    got = flash_self_attention_packed(qkv, bias, n_heads=h, interpret=True)
+    atol = 2e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, :200],
+        np.asarray(ref, np.float32)[:, :200], atol=atol,
+    )
+
+
 def test_flash_decode_int8_cache_matches_bf16():
     """int8 (D,S) cache + per-token scales ~= the bf16 kernel: the scale
     folds into the logits (K) and probs (V) as row multiplies; the bf16 SD
