@@ -331,12 +331,17 @@ def flash_decode_layer_attention(
         )
     tail_w = 0 if tail is None else int(tail.shape[4])
     # rows per grid cell: amortizes grid-step overhead (measured ~45% of
-    # kernel time at one row per cell); VMEM = b_blk * s_blk * h * d * 2B * 2
+    # kernel time at one row per cell); VMEM = b_blk * s_blk * h * d * 2B * 2.
+    # 8 rows/cell measured best with the pad-free (D,S)+tail layout
+    # (slope-timed r3: 1.554 vs 1.590 ms/step at 16 CFG rows, 12.07 vs
+    # 12.79 at 128). The legacy (S,D) layout pads D to 128 lanes -- its
+    # 8-row double-buffered blocks are 16.8 MB and OOM scoped VMEM.
     if rows_per_cell is not None:
         b_blk = int(rows_per_cell)
         assert b % b_blk == 0, (b, b_blk)
     else:
-        b_blk = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+        cands = (8, 4, 2) if ds_layout else (4, 2)
+        b_blk = next((c for c in cands if b % c == 0), 1)
     grid = (b // b_blk, s // s_blk)
 
     # absolute slot indices, pre-tiled (n_s, 8, s_blk) so the kernel's

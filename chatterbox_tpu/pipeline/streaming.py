@@ -22,13 +22,24 @@ pipeline). This module implements the capability TPU-natively:
     offset (hifigan.sine_source f0_cum_init), and only the new-frame region
     is emitted (context absorbs conv/iSTFT edge effects).
 
+**Concurrent streams (r3)**: ``stream_generate_batch`` runs N streams in
+LOCKSTEP -- one batched resumable T3 dispatch, one batched flow window and
+one batched masked vocode per tick -- so N concurrent streams cost ~one
+stream's dispatches instead of serializing N times on the device lock
+(single-stream RTF 0.46 wastes half a chip; VERDICT r2 #6). Rows may have
+different voices (stacked conds), progress at different token rates
+(per-row sliding windows + per-row f0/phase state), and finish raggedly.
+The vocoder batches rows of unequal span via right-padding + hift's
+``n_valid`` masked vocoding (exact per row up to the documented final-frame
+boundary effects). ``stream_generate`` is the 1-stream wrapper.
+
 All device work runs through shape-bucketed cached jits, same as the batch
 pipeline.
 """
 
 import logging
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 import jax
@@ -46,7 +57,7 @@ MEL_PER_TOKEN = 2
 SAMPLES_PER_FRAME = 480
 
 
-@dataclass
+@dataclass(frozen=True)
 class StreamConfig:
     chunk_tokens: int = 25  # 1 s of audio per chunk at 25 tok/s
     flow_ctx_tokens: int = 75  # left-context tokens re-fed to the flow
@@ -69,18 +80,56 @@ def stream_generate(
     min_new_tokens: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield watermarked float32 audio chunks (T,) for one utterance."""
+    for chunks in stream_generate_batch(
+        tts, [text], conds=conds, stream=stream,
+        repetition_penalty=repetition_penalty, min_p=min_p, top_p=top_p,
+        exaggeration=exaggeration, cfg_weight=cfg_weight,
+        temperature=temperature, seed=seed, min_new_tokens=min_new_tokens,
+    ):
+        if chunks[0] is not None and len(chunks[0]):
+            yield chunks[0]
+
+
+def stream_generate_batch(
+    tts,
+    texts: List[str],
+    conds=None,
+    stream: StreamConfig = StreamConfig(),
+    repetition_penalty: float = 1.2,
+    min_p: float = 0.05,
+    top_p: float = 1.0,
+    exaggeration: float = 0.5,
+    cfg_weight: float = 0.5,
+    temperature: float = 0.8,
+    seed: int = 0,
+    min_new_tokens: int = 0,
+) -> Iterator[List[Optional[np.ndarray]]]:
+    """Run ``len(texts)`` streams in lockstep; each tick yields a list with
+    one entry per stream: a float32 audio chunk, or None if that stream
+    produced no new audio this tick (already finished, or no valid tokens).
+
+    ``conds`` may hold 1 row (shared voice) or len(texts) stacked rows
+    (``Conditionals.stack``). Per-stream noise (vocoder phase/additive,
+    chunk rng) derives from ``seed`` + the row index, so a group is NOT
+    sample-identical to N independent streams with the same seed -- pass
+    one-text lists for that.
+    """
+    b = len(texts)
     conds = conds or tts.conds
     assert conds is not None, "prepare_conditionals first or pass conds"
-    if float(conds.t3.emotion_adv[0]) != exaggeration:
+    if bool(np.any(np.asarray(conds.t3.emotion_adv) != exaggeration)):
         conds = conds.with_exaggeration(exaggeration)
+    n_cond_rows = int(conds.t3.speaker_emb.shape[0])
+    assert n_cond_rows in (1, b), (n_cond_rows, b)
 
     from .tts import TEXT_BUCKETS, _bucket
 
-    row = tts._cap_text_row(tts._encode_text(text))
-    tmax = _bucket(len(row), TEXT_BUCKETS)
-    text_tokens = np.zeros((1, tmax), np.int32)
-    text_tokens[0, : len(row)] = row
-    text_lens = jnp.asarray([len(row)], np.int32)
+    rows = [tts._cap_text_row(tts._encode_text(t)) for t in texts]
+    tmax = _bucket(max(len(r) for r in rows), TEXT_BUCKETS)
+    text_tokens = np.zeros((b, tmax), np.int32)
+    for i, r in enumerate(rows):
+        text_tokens[i, : len(r)] = r
+    text_lens = jnp.asarray([len(r) for r in rows], np.int32)
 
     sampling = SamplingConfig(
         temperature=temperature, top_p=top_p, min_p=min_p,
@@ -90,7 +139,7 @@ def stream_generate(
 
     t3c = conds.t3
     kvq = tts.kv_quant
-    key_s = ("stream_start", tmax, stream.max_new_tokens, sampling, kvq)
+    key_s = ("stream_start", b, tmax, stream.max_new_tokens, sampling, kvq)
     start_fn = tts._jit_t3.get(key_s)
     if start_fn is None:
         cfg = tts.t3_cfg
@@ -98,13 +147,18 @@ def stream_generate(
 
         @jax.jit
         def start_fn(p, text, lens, spk, prompt, emo, rng):
+            bb = text.shape[0]
+            spk, prompt, emo = (
+                jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
+                for x in (spk, prompt, emo)
+            )
             return t3_generate_start(
                 p, cfg, text, lens, spk, prompt, emo, rng, sampling, mx,
                 cache_quant=kvq,
             )
 
         tts._jit_t3[key_s] = start_fn
-    key_r = ("stream_step", tmax, stream.max_new_tokens, sampling, stream.chunk_tokens, kvq)
+    key_r = ("stream_step", b, tmax, stream.max_new_tokens, sampling, stream.chunk_tokens, kvq)
     step_fn = tts._jit_t3.get(key_r)
     if step_fn is None:
         cfg = tts.t3_cfg
@@ -121,42 +175,55 @@ def stream_generate(
         t3c.speaker_emb, t3c.prompt_tokens, t3c.emotion_adv, jax.random.PRNGKey(seed),
     )
 
-    synth = _ChunkSynthesizer(tts, conds, stream, seed)
-    n_emitted_tokens = 0
+    synth = _ChunkSynthesizer(tts, conds, stream, seed, b)
+    n_emitted = [0] * b
     # NOTE: decode-ahead (dispatching the next t3 chunk before this chunk's
     # synthesis) was measured SLOWER on the axon backend (11.1 -> 19.9 s
     # wall for a 250-token stream) -- keep the serial loop.
     while True:
         carry, res = step_fn(tts.t3_params, carry, text_lens)
         steps = int(res.steps)
-        length = int(res.lengths[0])
-        finished = bool(np.asarray(carry.done)[0]) or steps >= stream.max_new_tokens
-        tokens = np.asarray(res.tokens[0, :length])
-        clean = tokens[tokens < SPEECH_VOCAB_SIZE]
-        if len(clean) > n_emitted_tokens:
-            wav = synth.extend(clean)
-            n_emitted_tokens = len(clean)
-            if wav is not None and len(wav):
-                yield wav
+        lengths = np.asarray(res.lengths)
+        done = np.asarray(carry.done)
+        tokens = np.asarray(res.tokens)
+        finished = bool(done.all()) or steps >= stream.max_new_tokens
+        cleans = []
+        for i in range(b):
+            row = tokens[i, : lengths[i]]
+            cleans.append(row[row < SPEECH_VOCAB_SIZE])
+        if any(len(c) > n_emitted[i] for i, c in enumerate(cleans)):
+            wavs = synth.extend(cleans)
+            n_emitted = [len(c) for c in cleans]
+        else:
+            wavs = [None] * b
+        yield wavs
         if finished:
             break
 
 
 class _ChunkSynthesizer:
-    """Sliding-window flow + phase-continuous chunked vocoder."""
+    """Sliding-window flow + phase-continuous chunked vocoder, batched over
+    N lockstep streams (per-row windows, f0 history, and noise)."""
 
-    def __init__(self, tts, conds, stream: StreamConfig, seed: int):
+    def __init__(self, tts, conds, stream: StreamConfig, seed: int, b: int = 1):
         self.tts = tts
         self.conds = conds
         self.stream = stream
         self.seed = seed
-        rng = np.random.default_rng(seed + 17)
+        self.b = b
         h = tts.s3gen_cfg.hift.nb_harmonics + 1
+        # per-row phase: row i draws from default_rng(seed + 17 + i) (row 0
+        # matches the historical single-stream draw at seed+17)
         self.phase_noise = jnp.asarray(
-            rng.uniform(-np.pi, np.pi, (1, h)).astype(np.float32)
+            np.stack(
+                [
+                    np.random.default_rng(seed + 17 + i).uniform(-np.pi, np.pi, h)
+                    for i in range(b)
+                ]
+            ).astype(np.float32)
         )
-        self.f0_hist = np.zeros((0,), np.float32)  # per emitted mel frame
-        self.n_done_tokens = 0
+        self.f0_hist = [np.zeros((0,), np.float32) for _ in range(b)]
+        self.n_done = [0] * b
         # host copy of the CFM noise buffer, fetched ONCE PER PROCESS (cached
         # on the tts object): reading it per chunk would pay a ~5 MB
         # device->host transfer on the ~13 MB/s tunnel for every second of
@@ -166,110 +233,138 @@ class _ChunkSynthesizer:
         self._noise_np = tts._cfm_noise_np
 
     def _flow_fn(self, win_tok: int):
-        key = ("stream_flow", win_tok, int(self.conds.gen.prompt_token.shape[1]))
+        key = ("stream_flow", self.b, win_tok, int(self.conds.gen.prompt_token.shape[1]))
         fn = self.tts._jit_s3gen.get(key)
         if fn is None:
             cfg = self.tts.s3gen_cfg
 
             @jax.jit
             def fn(p, tokens, lens, ref, noise):
+                bb = tokens.shape[0]
+                ref = type(ref)(
+                    *[
+                        jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
+                        for x in ref
+                    ]
+                )
                 mel, _ = flow_inference(
                     p["flow"], cfg.flow, tokens, lens,
                     ref.prompt_token, ref.prompt_token_len, ref.prompt_feat,
                     ref.embedding, noise,
                 )
-                return mel[:, ref.prompt_feat.shape[1] :]  # (1, 2*win, 80)
+                return mel[:, ref.prompt_feat.shape[1] :]  # (B, 2*win, 80)
 
             self.tts._jit_s3gen[key] = fn
         return fn
 
     def _hift_fn(self, n_frames: int):
-        key = ("stream_hift", n_frames, self.tts.hift_bf16)
+        key = ("stream_hift", self.b, n_frames, self.tts.hift_bf16)
         fn = self.tts._jit_s3gen.get(key)
         if fn is None:
             cfg = self.tts.s3gen_cfg
             hift_dtype = jnp.bfloat16 if self.tts.hift_bf16 else None
 
             @jax.jit
-            def fn(p, mel, phase_noise, add_noise, f0_cum):
+            def fn(p, mel, phase_noise, add_noise, f0_cum, n_valid):
                 return hift_generate(
                     p["hift"], cfg.hift, mel,
                     phase_noise=phase_noise, additive_noise=add_noise,
                     f0_cum_init=f0_cum, return_f0=True,
-                    compute_dtype=hift_dtype,
+                    compute_dtype=hift_dtype, n_valid=n_valid,
                 )
 
             self.tts._jit_s3gen[key] = fn
         return fn
 
-    def extend(self, clean_tokens: np.ndarray) -> Optional[np.ndarray]:
+    def extend(self, cleans: List[np.ndarray]) -> List[Optional[np.ndarray]]:
+        """One lockstep synthesis tick: ``cleans[i]`` is stream i's full
+        clean-token history. Returns per-stream new audio (None if none)."""
         st = self.stream
-        n_new = len(clean_tokens) - self.n_done_tokens
-        if n_new <= 0:
-            return None
-        w0 = max(0, self.n_done_tokens - st.flow_ctx_tokens)
-        window = clean_tokens[w0:]
-        # bucket the window length to chunk multiples (jit cache)
-        win_b = -(-len(window) // st.chunk_tokens) * st.chunk_tokens
-        tok = np.zeros((1, win_b), np.int32)
-        tok[0, : len(window)] = window
+        b = self.b
+        active = [i for i in range(b) if len(cleans[i]) > self.n_done[i]]
+        if not active:
+            return [None] * b
 
+        # --- batched flow over per-row sliding windows ---
+        w0s, windows = [0] * b, [np.zeros((0,), np.int64)] * b
+        for i in range(b):
+            w0s[i] = max(0, self.n_done[i] - st.flow_ctx_tokens)
+            windows[i] = cleans[i][w0s[i] :]
+        win_b = -(-max(len(windows[i]) for i in active) // st.chunk_tokens) * st.chunk_tokens
+        tok = np.zeros((b, win_b), np.int32)
+        lens = np.zeros((b,), np.int32)
         p_len = int(self.conds.gen.prompt_token.shape[1])
-        # CFM noise aligned to ABSOLUTE mel positions: [prompt | w0*2 + ...]
         total = MEL_PER_TOKEN * (p_len + win_b)
         noise = self._noise_np
-        buf = np.zeros((1, total, 80), np.float32)
-        buf[0, : MEL_PER_TOKEN * p_len] = noise[: MEL_PER_TOKEN * p_len]
-        gen_lo = MEL_PER_TOKEN * (p_len + w0)
-        buf[0, MEL_PER_TOKEN * p_len :] = noise[gen_lo : gen_lo + MEL_PER_TOKEN * win_b]
-
+        buf = np.zeros((b, total, 80), np.float32)
+        for i in active:
+            w = windows[i]
+            tok[i, : len(w)] = w
+            lens[i] = len(w)
+            # CFM noise aligned to ABSOLUTE mel positions: [prompt | w0*2 ...]
+            buf[i, : MEL_PER_TOKEN * p_len] = noise[: MEL_PER_TOKEN * p_len]
+            gen_lo = MEL_PER_TOKEN * (p_len + w0s[i])
+            buf[i, MEL_PER_TOKEN * p_len :] = noise[gen_lo : gen_lo + MEL_PER_TOKEN * win_b]
         mel = self._flow_fn(win_b)(
-            self.tts.s3gen_params, jnp.asarray(tok),
-            jnp.asarray([len(window)], np.int32), self.conds.gen, jnp.asarray(buf),
-        )  # (1, 2*win_b, 80) mels for tokens [w0 : w0+win_b]
+            self.tts.s3gen_params, jnp.asarray(tok), jnp.asarray(lens),
+            self.conds.gen, jnp.asarray(buf),
+        )  # (B, 2*win_b, 80); row i valid for tokens [w0_i : w0_i+len(w_i))
 
-        # vocode [hift context + new frames] with exact sine-phase continuity
-        new_lo_frames = MEL_PER_TOKEN * (self.n_done_tokens - w0)
-        voc_lo = max(0, new_lo_frames - st.hift_ctx_frames)
-        voc_hi = MEL_PER_TOKEN * len(window)
-        # bucket the vocoder span to 50-frame multiples by EXTENDING voc_lo
-        # (more leading context is always safe -- the emitted region is
-        # trimmed below): token-drop randomness otherwise makes nearly every
-        # chunk a fresh n_frames -> a fresh multi-second hift compile
-        span = -(-(voc_hi - voc_lo) // 50) * 50
-        voc_lo = max(0, voc_hi - span)
-        voc_mel = np.asarray(mel[:, voc_lo:voc_hi])
-        abs_voc_lo = w0 * MEL_PER_TOKEN + voc_lo
-        f0_cum = jnp.asarray(
-            [np.sum(self.f0_hist[:abs_voc_lo]) * SAMPLES_PER_FRAME / self.tts.s3gen_cfg.hift.sampling_rate],
-            jnp.float32,
-        )
-        n_frames = voc_mel.shape[1]
-        rng = np.random.default_rng((self.seed, abs_voc_lo))
+        # --- batched masked vocode: rows left-aligned, right-padded ---
+        new_lo = [MEL_PER_TOKEN * (self.n_done[i] - w0s[i]) for i in range(b)]
+        voc_hi = [MEL_PER_TOKEN * len(windows[i]) for i in range(b)]
+        raw_span = [
+            voc_hi[i] - max(0, new_lo[i] - st.hift_ctx_frames) for i in active
+        ]
+        # one shared 50-frame-bucketed span: extending a row's leading
+        # context is always safe (emit region trimmed below); short rows
+        # (stream start) right-pad and vocode masked via n_valid
+        n_frames = -(-max(raw_span) // 50) * 50
+        voc_lo = [max(0, voc_hi[i] - n_frames) for i in range(b)]
+        n_valid = np.zeros((b,), np.int32)
+        voc_mel = np.zeros((b, n_frames, 80), np.float32)
+        mel_np = np.asarray(mel)
         h = self.tts.s3gen_cfg.hift.nb_harmonics + 1
-        add_noise = jnp.asarray(
-            rng.standard_normal((1, h, n_frames * SAMPLES_PER_FRAME)).astype(np.float32)
-        )
+        add_noise = np.zeros((b, h, n_frames * SAMPLES_PER_FRAME), np.float32)
+        f0_cum = np.zeros((b,), np.float32)
+        abs_voc_lo = [0] * b
+        for i in active:
+            span = voc_hi[i] - voc_lo[i]
+            n_valid[i] = span
+            voc_mel[i, :span] = mel_np[i, voc_lo[i] : voc_hi[i]]
+            abs_voc_lo[i] = w0s[i] * MEL_PER_TOKEN + voc_lo[i]
+            rng = np.random.default_rng((self.seed + i, abs_voc_lo[i]))
+            add_noise[i, :, : span * SAMPLES_PER_FRAME] = rng.standard_normal(
+                (h, span * SAMPLES_PER_FRAME)
+            ).astype(np.float32)
+            f0_cum[i] = (
+                np.sum(self.f0_hist[i][: abs_voc_lo[i]])
+                * SAMPLES_PER_FRAME
+                / self.tts.s3gen_cfg.hift.sampling_rate
+            )
         wav, _, f0 = self._hift_fn(n_frames)(
-            self.tts.s3gen_params, jnp.asarray(voc_mel), self.phase_noise, add_noise, f0_cum
+            self.tts.s3gen_params, jnp.asarray(voc_mel), self.phase_noise,
+            jnp.asarray(add_noise), jnp.asarray(f0_cum), jnp.asarray(n_valid),
         )
-        f0 = np.asarray(f0[0])  # (n_frames,)
+        wav = np.asarray(wav)
+        f0 = np.asarray(f0)
 
-        # record f0 for frames we have not yet logged
-        abs_frames = abs_voc_lo + n_frames
-        if abs_frames > len(self.f0_hist):
-            self.f0_hist = np.concatenate(
-                [self.f0_hist[:abs_voc_lo], f0]
-            )[:abs_frames]
-
-        emit_lo = (new_lo_frames - voc_lo) * SAMPLES_PER_FRAME
-        out = np.asarray(wav[0, emit_lo:]).astype(np.float32)
-        if self.n_done_tokens == 0:
-            # 20 ms trim-fade at utterance start (reference s3gen.py:232-236)
-            n = self.tts.s3gen_cfg.trim_n
-            fade = (np.cos(np.linspace(np.pi, 0.0, n)) + 1.0) / 2.0
-            out[:n] = 0.0
-            out[n : 2 * n] *= fade[: max(0, min(n, len(out) - n))]
-        self.n_done_tokens = len(clean_tokens)
-        out = self.tts.watermarker.apply_watermark(out)
-        return out
+        outs: List[Optional[np.ndarray]] = [None] * b
+        for i in active:
+            # record f0 for frames not yet logged
+            abs_frames = abs_voc_lo[i] + int(n_valid[i])
+            if abs_frames > len(self.f0_hist[i]):
+                self.f0_hist[i] = np.concatenate(
+                    [self.f0_hist[i][: abs_voc_lo[i]], f0[i, : n_valid[i]]]
+                )[:abs_frames]
+            emit_lo = (new_lo[i] - voc_lo[i]) * SAMPLES_PER_FRAME
+            out = wav[i, emit_lo : int(n_valid[i]) * SAMPLES_PER_FRAME].astype(np.float32)
+            if self.n_done[i] == 0:
+                # 20 ms trim-fade at utterance start (reference s3gen.py:232-236)
+                n = self.tts.s3gen_cfg.trim_n
+                fade = (np.cos(np.linspace(np.pi, 0.0, n)) + 1.0) / 2.0
+                out[:n] = 0.0
+                out[n : 2 * n] *= fade[: max(0, min(n, len(out) - n))]
+            self.n_done[i] = len(cleans[i])
+            outs[i] = self.tts.watermarker.apply_watermark(out)
+        return outs

@@ -158,3 +158,170 @@ class DynamicBatcher:
             for j in group:
                 j.error = e
                 j.done.set()
+
+
+@dataclass
+class StreamJob:
+    text: str
+    conds: Any
+    params: Dict[str, Any]  # stream_generate_batch kwargs (sampling etc.)
+    seed: Optional[int]
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+
+    def group_key(self) -> Tuple:
+        import jax
+
+        cond_shapes = jax.tree.map(lambda x: tuple(x.shape[1:]), self.conds)
+        return (
+            tuple(sorted(self.params.items())),
+            cond_shapes,
+            self.seed,
+            id(self) if self.seed is not None else 0,
+        )
+
+
+class _StreamGroup:
+    """One lockstep stream_generate_batch generator + its per-row sinks."""
+
+    def __init__(self, tts, jobs: List["StreamJob"]):
+        from ..pipeline.conditionals import Conditionals
+        from ..pipeline.streaming import stream_generate_batch
+
+        self.jobs = jobs
+        texts = [j.text for j in jobs]
+        conds = Conditionals.stack([j.conds for j in jobs])
+        seed = jobs[0].seed
+        if seed is None:
+            seed = int(time.time() * 1000) % (2**31)
+        self.gen = stream_generate_batch(
+            tts, texts, conds=conds, seed=seed, **jobs[0].params
+        )
+
+    def tick(self) -> bool:
+        """Advance one lockstep step; deliver per-row chunks. Returns False
+        when the group is finished (sentinels delivered)."""
+        try:
+            chunks = next(self.gen)
+        except StopIteration:
+            for j in self.jobs:
+                j.out.put(None)
+            return False
+        except BaseException as e:  # deliver the error to every stream
+            logger.exception("lockstep stream group failed")
+            for j in self.jobs:
+                j.out.put(e)
+            return False
+        for j, c in zip(self.jobs, chunks):
+            if c is not None and len(c):
+                j.out.put(c)
+        return True
+
+
+class StreamBatcher:
+    """Coalesces concurrent /generate/stream requests into LOCKSTEP groups
+    (pipeline/streaming.stream_generate_batch): N streams share one batched
+    T3 chunk dispatch + one batched flow/vocoder per tick instead of
+    serializing N full streams on the device lock (r2 verdict #6; one stream
+    measured RTF 0.46 = half an idle chip).
+
+    The worker interleaves ALL active groups one tick at a time, so a stream
+    that arrives while another is playing starts after at most one tick +
+    window rather than after the whole earlier stream. Requests arriving
+    within ``window_ms`` of each other (and compatible: same sampling
+    params, stackable voices, no explicit seed) form one group, capped at
+    ``max_streams`` rows.
+    """
+
+    def __init__(self, tts, max_streams: int = 8, window_ms: float = 50.0,
+                 device_lock: Optional[threading.RLock] = None):
+        self.tts = tts
+        self.max_streams = max_streams
+        self.window_ms = window_ms
+        self.device_lock = device_lock or threading.RLock()
+        self.queue: "queue.Queue[StreamJob]" = queue.Queue()
+        self.stats = {"stream_requests": 0, "stream_groups": 0,
+                      "max_group_seen": 0, "active_streams": 0}
+        self._stop = False
+        self.worker = threading.Thread(target=self._run, name="tts-stream-batcher", daemon=True)
+        self.worker.start()
+
+    def submit(self, text: str, conds, params: Dict[str, Any], seed: Optional[int]):
+        """Returns an iterator of float32 chunks (raises mid-iteration on
+        group failure)."""
+        job = StreamJob(text=text, conds=conds, params=dict(params), seed=seed)
+        self.stats["stream_requests"] += 1
+        self.queue.put(job)
+
+        def chunks():
+            while True:
+                item = job.out.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        return chunks()
+
+    def shutdown(self):
+        self._stop = True
+        self.queue.put(None)
+        self.worker.join(timeout=5)
+
+    # --------------------------------------------------------------- worker
+    def _drain_new_jobs(self, block: bool) -> List[StreamJob]:
+        jobs: List[StreamJob] = []
+        try:
+            first = self.queue.get(block=block)
+        except queue.Empty:
+            return jobs
+        if first is None:
+            self._stop = True
+            return jobs
+        jobs.append(first)
+        deadline = time.monotonic() + self.window_ms / 1000.0
+        while len(jobs) < self.max_streams:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                j = self.queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if j is None:
+                self._stop = True
+                break
+            jobs.append(j)
+        return jobs
+
+    def _run(self):
+        active: List[_StreamGroup] = []
+        while not self._stop:
+            new = self._drain_new_jobs(block=not active)
+            if new:
+                groups: Dict[Tuple, List[StreamJob]] = {}
+                for j in new:
+                    groups.setdefault(j.group_key(), []).append(j)
+                for jobs in groups.values():
+                    try:
+                        with self.device_lock:
+                            active.append(_StreamGroup(self.tts, jobs))
+                        self.stats["stream_groups"] += 1
+                        self.stats["max_group_seen"] = max(
+                            self.stats["max_group_seen"], len(jobs)
+                        )
+                    except BaseException as e:
+                        logger.exception("stream group start failed")
+                        for j in jobs:
+                            j.out.put(e)
+            still = []
+            for g in active:
+                with self.device_lock:
+                    alive = g.tick()
+                if alive:
+                    still.append(g)
+            active = still
+            self.stats["active_streams"] = sum(len(g.jobs) for g in active)
+        for g in active:
+            for j in g.jobs:
+                j.out.put(None)

@@ -32,6 +32,10 @@ class ServerConfig(BaseModel):
     # 0 disables (every request runs solo, reference behavior).
     batch_window_ms: float = 25.0
     max_dynamic_batch: int = 16
+    # max concurrent /generate/stream rows per lockstep group
+    # (serve/batcher.py StreamBatcher); batch_window_ms=0 disables both
+    # batchers
+    max_stream_group: int = 8
     generate_timeout_s: float = 300.0
 
     @classmethod

@@ -67,11 +67,19 @@ class TTSService:
 
         self.device_lock = threading.RLock()
         self.batcher = None
+        self.stream_batcher = None
         if cfg.batch_window_ms > 0:
-            from .batcher import DynamicBatcher
+            from .batcher import DynamicBatcher, StreamBatcher
 
             self.batcher = DynamicBatcher(
                 tts, max_batch=cfg.max_dynamic_batch, window_ms=cfg.batch_window_ms,
+                device_lock=self.device_lock,
+            )
+            # concurrent /generate/stream requests coalesce into LOCKSTEP
+            # groups sharing batched per-tick dispatches (r2 verdict #6)
+            self.stream_batcher = StreamBatcher(
+                tts, max_streams=cfg.max_stream_group,
+                window_ms=max(cfg.batch_window_ms, 50.0),
                 device_lock=self.device_lock,
             )
 
@@ -96,7 +104,14 @@ class TTSService:
             emotions_ready=self.voices.get_stats()["ready"],
             uptime_seconds=time.time() - self.start_time,
             memory=mem,
-            batching=dict(self.batcher.stats) if self.batcher is not None else {},
+            batching={
+                **(dict(self.batcher.stats) if self.batcher is not None else {}),
+                **(
+                    dict(self.stream_batcher.stats)
+                    if self.stream_batcher is not None
+                    else {}
+                ),
+            },
         )
 
     def _resolve_conds(self, req: TTSRequest):
@@ -175,10 +190,7 @@ class TTSService:
         conds, exaggeration = self._resolve_conds(req)
 
         stream = StreamConfig(max_new_tokens=req.max_new_tokens)
-        it = stream_generate(
-            self.tts,
-            req.text,
-            conds=conds,
+        params = dict(
             stream=stream,
             repetition_penalty=req.repetition_penalty,
             min_p=req.min_p,
@@ -186,7 +198,21 @@ class TTSService:
             exaggeration=exaggeration,
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
+        )
+        if self.stream_batcher is not None:
+            # lockstep group path: N concurrent streams share batched
+            # per-tick dispatches (serve/batcher.py StreamBatcher)
+            for chunk in self.stream_batcher.submit(
+                req.text, conds, params, req.seed
+            ):
+                yield (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+            return
+        it = stream_generate(
+            self.tts,
+            req.text,
+            conds=conds,
             seed=req.seed if req.seed is not None else int(time.time() * 1000) % (2**31),
+            **params,
         )
         while True:
             # lock per chunk: batched /generate work interleaves between

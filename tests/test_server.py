@@ -293,3 +293,46 @@ def test_profile_exaggeration_used_when_request_omits_it(server):
     _, exag = service._resolve_conds(
         TTSRequest(text="x", emotion="exg", exaggeration=0.2))
     assert exag == 0.2
+
+
+def test_concurrent_streams_share_lockstep_group(server):
+    """Two concurrent /generate/stream requests coalesce into ONE lockstep
+    group (serve/batcher.py StreamBatcher): both complete and the group
+    stats record a shared batched dispatch (r2 verdict #6)."""
+    import threading
+
+    svc = server.service
+    assert svc.stream_batcher is not None
+    before = svc.stream_batcher.stats["stream_groups"]
+    conds = svc.voices.get_conditionals("streamer")
+    from chatterbox_tpu.pipeline.streaming import StreamConfig
+
+    params = dict(
+        stream=StreamConfig(chunk_tokens=5, flow_ctx_tokens=10,
+                            hift_ctx_frames=8, max_new_tokens=10),
+        repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+        exaggeration=0.5, cfg_weight=0.5, temperature=0.8,
+    )
+    results = [None, None]
+    errors = []
+
+    def run(i, text):
+        try:
+            chunks = list(svc.stream_batcher.submit(text, conds, params, None))
+            results[i] = np.concatenate(chunks) if chunks else np.zeros(0)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=run, args=(i, t))
+          for i, t in enumerate(["Voice one here.", "Second stream text."])]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errors, errors
+    for r in results:
+        assert r is not None and len(r) > 0 and len(r) % 960 == 0
+        assert np.isfinite(r).all()
+    after = svc.stream_batcher.stats
+    assert after["stream_groups"] > before
+    assert after["max_group_seen"] == 2, after  # they coalesced

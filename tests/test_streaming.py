@@ -81,3 +81,45 @@ def test_hift_chunked_sine_phase_continuity():
     err = np.abs(got[lo:hi] - want[lo:hi]).max()
     ref = np.abs(want[lo:hi]).max() + 1e-6
     assert err / ref < 0.05, (err, ref)
+
+
+def test_lockstep_batch_single_row_equals_stream_generate(tts):
+    """A 1-row stream_generate_batch IS stream_generate (same path)."""
+    from chatterbox_tpu.pipeline.streaming import stream_generate_batch
+
+    st = StreamConfig(chunk_tokens=6, flow_ctx_tokens=12, hift_ctx_frames=8,
+                      max_new_tokens=12)
+    kw = dict(seed=4, min_new_tokens=11)
+    a = list(stream_generate(tts, "Lockstep one.", stream=st, **kw))
+    b = [c[0] for c in stream_generate_batch(tts, ["Lockstep one."], stream=st, **kw)
+         if c[0] is not None and len(c[0])]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_lockstep_two_streams(tts):
+    """Two concurrent lockstep streams: per-row chunks concatenate to whole
+    token multiples, are finite, and the rows differ (independent noise)."""
+    from chatterbox_tpu.pipeline.streaming import stream_generate_batch
+
+    st = StreamConfig(chunk_tokens=6, flow_ctx_tokens=12, hift_ctx_frames=8,
+                      max_new_tokens=18)
+    rows = [[], []]
+    ticks = 0
+    for chunks in stream_generate_batch(
+        tts, ["First speaker line.", "A different second line entirely."],
+        stream=st, seed=5, min_new_tokens=17,
+    ):
+        ticks += 1
+        for i, c in enumerate(chunks):
+            if c is not None and len(c):
+                rows[i].append(c)
+    assert ticks >= 2
+    t0 = np.concatenate(rows[0])
+    t1 = np.concatenate(rows[1])
+    for t in (t0, t1):
+        assert np.isfinite(t).all()
+        assert len(t) % 960 == 0 and len(t) > 0
+    n = min(len(t0), len(t1))
+    assert not np.array_equal(t0[:n], t1[:n])
