@@ -52,9 +52,14 @@ TAIL_W = 8  # SD-tail length: tokens buffered between (D,S)-cache merges
 
 
 def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
-            *rest, ds_layout=False, tail_w=0, quant=False, interp=False):
+            *rest, ds_layout=False, tail_w=0, quant=False, interp=False,
+            bd_heads=False):
     rest = list(rest)
     sck_ref = scv_ref = None
+    qp_ref = None
+    if bd_heads:
+        qp_ref = rest[0]  # (b_blk, 1, H*D) packed q rows
+        rest = rest[1:]
     if quant:
         sck_ref, scv_ref = rest[:2]
         rest = rest[2:]
@@ -122,7 +127,59 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                     l_scr[rr, hh] = l_scr[rr, hh] * alpha + l_blk * beta
                     acc_scr[rr, hh] = acc_scr[rr, hh] * alpha + pv * beta
 
-    @pl.when(s_i < n_live)
+    def _accumulate_bd():
+        # ALL-HEADS block-diagonal form (r3): replaces the per-head loop's
+        # 2*h tiny single-row dots with 3 wide dots per row -- the per-head
+        # loop was MXU-instruction-latency-bound (kernel measured 317 GB/s
+        # vs its 545 GB/s DMA floor). Correctness: with q laid out
+        # block-diagonally (row g of qbd holds q_g in lanes [g*d,(g+1)*d)),
+        # qbd @ [k tiles stacked (h*d, Sb)] gives row g = q_g . k_g exactly
+        # (zero rows contribute nothing); PV computes all (h, h*d) pairs,
+        # the block-diag mask keeps own-head terms, and a {0,1} selector
+        # matmul repacks (h, h*d) -> (h, d). All ops are 2-D row-form +
+        # leading-dim value reshapes (probed to lower on this Mosaic).
+        pos = pos_ref[0, 0:1, :]  # (1, Sb) int32 absolute slot indices
+        sub = lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
+        lane = lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
+        bd = (lane // d == sub).astype(jnp.float32)  # (h, h*d)
+        sel_dtype = kc_ref.dtype
+        sel = (
+            lax.broadcasted_iota(jnp.int32, (h * d, d), 0) % d
+            == lax.broadcasted_iota(jnp.int32, (h * d, d), 1)
+        ).astype(sel_dtype)  # (h*d, d) repack selector
+        for rr in range(b_blk):
+            rp = prefix_ref[b_i * b_blk + rr]
+            valid = ((pos < rp) | ((pos >= gap_end) & (pos < cur_len))) & (pos < ds_end)
+            bias = jnp.where(valid, 0.0, neg)  # (1, Sb) f32
+            kf = kc_ref[0, 0, rr].reshape(h * d, -1)  # (H*D, Sb) stacked tiles
+            vf = vc_ref[0, 0, rr].reshape(h * d, -1)
+            qp = qp_ref[rr].astype(jnp.float32)  # (1, H*D)
+            qbd = (bd * qp).astype(kf.dtype)  # (h, H*D) block-diagonal q
+            logits = lax.dot_general(
+                qbd, kf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (h, Sb): row g = q_g . k_g
+            scores = logits * scale + bias
+            m_blk = jnp.max(scores, axis=1, keepdims=True)  # (h, 1)
+            p = jnp.exp(scores - m_blk)
+            l_blk = jnp.sum(p, axis=1, keepdims=True)  # (h, 1)
+            allg = lax.dot_general(
+                p.astype(vf.dtype), vf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (h, H*D) all-pairs p_h . v_g
+            pv = lax.dot_general(
+                (allg * bd).astype(sel_dtype), sel,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (h, D) own-head rows repacked
+            m_prev = m_scr[rr].reshape(h, d)
+            m_new = jnp.maximum(m_prev, m_blk + jnp.zeros((h, d), jnp.float32))
+            alpha = jnp.exp(m_prev - m_new)
+            beta = jnp.exp((m_blk + jnp.zeros((h, d), jnp.float32)) - m_new)
+            m_scr[rr] = m_new.reshape(h, 1, d)
+            l_scr[rr] = (l_scr[rr].reshape(h, d) * alpha
+                         + (l_blk + jnp.zeros((h, d), jnp.float32)) * beta).reshape(h, 1, d)
+            acc_scr[rr] = (acc_scr[rr].reshape(h, d) * alpha + pv * beta).reshape(h, 1, d)
+
     def _accumulate():
         # validity from static tile-aligned position rows + SMEM scalars --
         # no dynamic vector loads (Mosaic rejects unaligned dynamic indices)
@@ -185,6 +242,8 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
                 m_scr[rr, hh] = m_new
                 l_scr[rr, hh] = l_scr[rr, hh] * alpha + l_blk * beta
                 acc_scr[rr, hh] = acc_scr[rr, hh] * alpha + pv * beta
+
+    pl.when(s_i < n_live)(_accumulate_bd if bd_heads else _accumulate)
 
     @pl.when(s_i == n_s - 1)
     def _finish():
@@ -386,6 +445,9 @@ def flash_decode_layer_attention(
     else:
         cache_block = (1, 1, b_blk, h, s_blk, d)
 
+    # all-heads block-diagonal accumulate (see _kernel): ds-layout bf16 path
+    # only; it needs q ALSO in packed (B, 1, H*D) layout (a free reshape)
+    bd_heads = ds_layout and not quant and d % 8 == 0 and (h * d) % 128 == 0
     in_specs = [
         pl.BlockSpec(cache_block, kc_map),
         pl.BlockSpec(cache_block, vc_map),
@@ -400,6 +462,11 @@ def flash_decode_layer_attention(
         k_new[:, :, None],
         v_new[:, :, None],
     ]
+    if bd_heads:
+        in_specs.append(
+            pl.BlockSpec((b_blk, 1, h * d), lambda bi, si, lr, pr: (bi, 0, 0))
+        )
+        operands.append(q.reshape(b, 1, h * d))
     if quant:
         # per-token scale rows, same S-block walk as the cache tiles
         def sck_map(bi, si, lr, pr):
@@ -439,7 +506,7 @@ def flash_decode_layer_attention(
     out = pl.pallas_call(
         functools.partial(
             _kernel, ds_layout=ds_layout, tail_w=tail_w, quant=quant,
-            interp=interpret,
+            interp=interpret, bd_heads=bd_heads,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),

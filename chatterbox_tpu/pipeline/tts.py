@@ -444,12 +444,16 @@ class ChatterboxTTS:
             conds = conds.with_exaggeration(exaggeration)
 
         b = len(texts)
-        if b > self.max_device_batch:
+        if b > self._budget_batch_cap(max_new_tokens, pipelined=False):
             # chunk through the pipelined path: each chunk's decode graph
             # fits HBM; chip work stays saturated via async dispatch
             assert not defer_collect, "defer_collect requires b <= max_device_batch"
+            # split EVENLY under the cap (16 at cap 11 -> 8+8, not 11+5: the
+            # straggler chunk wastes most of its dispatch)
+            cap0 = self._budget_batch_cap(max_new_tokens, pipelined=True)
+            step = -(-b // -(-b // cap0))
             rows = self.generate_batches_pipelined(
-                [texts[i : i + self.max_device_batch] for i in range(0, b, self.max_device_batch)],
+                [texts[i : i + step] for i in range(0, b, step)],
                 conds=conds,
                 repetition_penalty=repetition_penalty,
                 min_p=min_p,
@@ -535,6 +539,31 @@ class ChatterboxTTS:
             )
         return self.collect((wav, wav_lens))
 
+    def _budget_batch_cap(self, max_new_tokens: int, pipelined: bool) -> int:
+        """Largest per-dispatch batch whose decode graph fits HBM at this
+        token budget. The KV cache dominates: (L, 2, 2b CFG rows, H, D, S)
+        bf16 with S ~ cond + text + budget. Measured anchors (v5e, 16 GB):
+        b16 @1000 tokens (8.6 GB cache) OOM'd at the watermark dispatch;
+        b8 @1000 (4.3 GB) ran pipelined (two graphs in flight); b64 @250
+        (12.1 GB) fits one-shot but not two (max_pipelined_batch=32).
+        int8 KV (kv_quant) halves the cache bytes."""
+        cfg = self.t3_cfg.llama
+        s = 34 + 64 + 2 + max_new_tokens  # cond + typical text bucket + BOS
+        s = -(-s // 128) * 128
+        itemsize = 1 if self.kv_quant else 2
+        per_row = (
+            cfg.num_hidden_layers * 2 * 2 * cfg.num_key_value_heads
+            * cfg.head_dim * s * itemsize
+        )
+        # cache-byte budgets calibrated to the anchors above: activations
+        # (flow/hift) scale with b*S too, and the pipelined path keeps TWO
+        # graphs in flight -- b16@1000 (4.5 GB cache) OOM'd pipelined while
+        # b32@250 (3.0 GB) and b8@1000 (2.3 GB) ran
+        budget = 3.2e9 if pipelined else 7.0e9
+        cap = max(1, int(budget // max(per_row, 1)))
+        hard = min(self.max_device_batch, self.max_pipelined_batch) if pipelined else self.max_device_batch
+        return min(hard, cap)
+
     def collect(self, handle) -> List[np.ndarray]:
         """Materialize a deferred generate_batch result (device -> host)."""
         wav, wav_lens = handle
@@ -562,12 +591,14 @@ class ChatterboxTTS:
                 "batched conds rows must match the total text count",
                 conds.t3.speaker_emb.shape[0], total,
             )
-        cap = min(self.max_device_batch, self.max_pipelined_batch)
+        cap = self._budget_batch_cap(kw.get("max_new_tokens", 1000), pipelined=True)
         chunks = []  # (orig batch index, texts, conds row offset)
         off = 0
         for i, texts in enumerate(batches):
-            for j in range(0, len(texts), cap):
-                chunks.append((i, texts[j : j + cap], off + j))
+            # even split under the cap (see generate_batch)
+            step = -(-len(texts) // -(-len(texts) // cap)) if texts else cap
+            for j in range(0, len(texts), step):
+                chunks.append((i, texts[j : j + step], off + j))
             off += len(texts)
         handles = []  # (orig batch index, handle)
         out = [[] for _ in batches]

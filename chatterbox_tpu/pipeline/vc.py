@@ -91,15 +91,13 @@ class ChatterboxVC:
         """Single-source API parity (vc.py:83-104) -> (1, T) waveform."""
         return self.generate_batch([audio], target_voice_path, seed=seed)[0][None]
 
-    def generate_batch(self, audios: List, target_voice_path=None, seed: int = 0,
-                       defer_collect: bool = False) -> List[np.ndarray]:
-        """``defer_collect=True`` returns a device handle; ``collect`` it
-        later (lets the host readback of batch N-1 overlap batch N's device
-        work, same as the TTS pipeline)."""
-        if target_voice_path is not None:
-            self.set_target_voice(target_voice_path)
-        assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
+    def _pack_sources(self, audios: List):
+        """Host-side packing: sources -> (int16 batch, n_toks, wav_bucket).
 
+        int16 PCM because the tunneled host->device link runs at ~13 MB/s
+        and a b32 float batch is ~20 MB. WAV sources ARE 16-bit PCM (librosa
+        floats are n/32768), so scaling by 32768 recovers n exactly --
+        lossless for real inputs; the device converts back inside the jit."""
         srcs = []
         max_samples = TOKEN_BUCKETS[-1] * 640  # largest token bucket (40 s @16k)
         for a in audios:
@@ -110,18 +108,42 @@ class ChatterboxVC:
             srcs.append(pad_to_token_multiple(wav[:max_samples]))
         n_toks = [len(s) // 640 for s in srcs]
         wav_bucket = _bucket(max(n_toks), TOKEN_BUCKETS) * 640
-        # ship sources as int16 PCM: the tunneled host->device link runs at
-        # ~13 MB/s and a b32 float batch is ~20 MB. WAV sources ARE 16-bit
-        # PCM (librosa floats are n/32768), so scaling by 32768 recovers n
-        # exactly -- lossless for real inputs; the device converts back to
-        # float (/32768) inside the jit.
         batch = np.zeros((len(srcs), wav_bucket), np.int16)
         for i, s in enumerate(srcs):
             batch[i, : len(s)] = np.clip(
                 np.round(s * 32768.0), -32768, 32767
             ).astype(np.int16)
+        return batch, np.array(n_toks, np.int32), wav_bucket
 
-        b = len(srcs)
+    def _upload_sources(self, packed):
+        """Start the H2D transfer (jax device transfers are async: the
+        returned arrays carry pending copies, letting an uploader thread
+        overlap the next batch's ~MBs with the current batch's compute)."""
+        batch, n_toks, wav_bucket = packed
+        batch_in = jnp.asarray(batch)
+        lens_in = jnp.asarray(n_toks)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dsh = NamedSharding(self.mesh, P("data"))
+            batch_in, lens_in = jax.device_put(batch_in, dsh), jax.device_put(lens_in, dsh)
+        return batch_in, lens_in, wav_bucket
+
+    def generate_batch(self, audios: List = None, target_voice_path=None, seed: int = 0,
+                       defer_collect: bool = False, _uploaded=None) -> List[np.ndarray]:
+        """``defer_collect=True`` returns a device handle; ``collect`` it
+        later (lets the host readback of batch N-1 overlap batch N's device
+        work, same as the TTS pipeline). ``_uploaded``: pre-transferred
+        sources from _upload_sources (the pipelined path's overlap)."""
+        if target_voice_path is not None:
+            self.set_target_voice(target_voice_path)
+        assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
+
+        if _uploaded is None:
+            _uploaded = self._upload_sources(self._pack_sources(audios))
+        batch_in, lens_in, wav_bucket = _uploaded
+
+        b = batch_in.shape[0]
         key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1], self.hift_bf16)
         fn = self._jit.get(key)
         if fn is None:
@@ -156,13 +178,6 @@ class ChatterboxVC:
         total = 2 * (p_len + wav_bucket // 640)
         noise = self._cfm_noise[:, :total]
         ref_b = self.ref_dict
-        batch_in = jnp.asarray(batch)
-        lens_in = jnp.asarray(np.array(n_toks, np.int32))
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            dsh = NamedSharding(self.mesh, P("data"))
-            batch_in, lens_in = jax.device_put(batch_in, dsh), jax.device_put(lens_in, dsh)
         wav, wav_lens = fn(
             self.s3gen_params,
             batch_in,
@@ -198,15 +213,30 @@ class ChatterboxVC:
 
     def generate_batches_pipelined(self, batches: List[List], target_voice_path=None,
                                    seed: int = 0) -> List[List[np.ndarray]]:
-        """Convert several batches, overlapping each batch's host collection
-        with the next batch's device dispatch (mirrors the TTS pipeline)."""
+        """Convert several batches, overlapping (a) each batch's host
+        collection AND (b) the NEXT batch's source upload with the current
+        batch's device compute (r2 verdict #8: a b32 int16 source batch is
+        ~10 MB of H2D on the ~13 MB/s tunnel -- serialized, that tax made
+        b32 VC slower per chip than b8). An uploader thread keeps one
+        packed+transferring batch in flight ahead of the dispatch loop."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if target_voice_path is not None:
             self.set_target_voice(target_voice_path)
         handles, out = [], []
-        for c, audios in enumerate(batches):
-            handles.append(self.generate_batch(audios, seed=seed + c, defer_collect=True))
-            if len(handles) > 1:
-                out.append(self.collect(handles.pop(0)))
+        with ThreadPoolExecutor(1, thread_name_prefix="vc-upload") as ex:
+            fut = ex.submit(lambda a=batches[0]: self._upload_sources(self._pack_sources(a)))
+            for c in range(len(batches)):
+                uploaded = fut.result()
+                if c + 1 < len(batches):
+                    fut = ex.submit(
+                        lambda a=batches[c + 1]: self._upload_sources(self._pack_sources(a))
+                    )
+                handles.append(
+                    self.generate_batch(seed=seed + c, defer_collect=True, _uploaded=uploaded)
+                )
+                if len(handles) > 1:
+                    out.append(self.collect(handles.pop(0)))
         while handles:
             out.append(self.collect(handles.pop(0)))
         return out
