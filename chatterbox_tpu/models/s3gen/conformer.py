@@ -73,9 +73,96 @@ def _rel_shift_bd(bd: jnp.ndarray) -> jnp.ndarray:
     return rows[..., :t]
 
 
+FLASH_ATTENTION = True  # module switch for A/B benchmarking
+
+
+def _sinusoid_tables(t: int, c: int):
+    """Absolute sinusoid angle tables for the rel-pos decomposition:
+    (sin(w_i s), cos(w_i s)) for s in [0, t), w_i the ESPnet frequencies."""
+    div = np.exp(np.arange(0, c, 2, dtype=np.float64) * -(np.log(10000.0) / c))
+    ang = np.arange(t, dtype=np.float64)[:, None] * div[None]
+    return np.sin(ang).astype(np.float32), np.cos(ang).astype(np.float32)
+
+
+def rel_pos_attention_flash(p, x, n_heads, key_mask=None):
+    """ESPnet rel-pos attention via the flash kernel -- EXACT rewrite.
+
+    The dense path materializes ac (B,H,T,T) + bd (B,H,T,2T-1) f32 and
+    rel-shifts bd. Identity (angle addition): with m = t - s,
+    bd[t,s] = q_v[t] . (W_pos pe(m)) = sum_c qw[t,c] sinusoid_c(m)
+            = qhat[t] . shat[s],
+    where qw = q_v folded with the learned pos projection, qhat is qw
+    rope-rotated by the QUERY position, and shat[s] = [sin(w s), cos(w s)]
+    is the plain absolute table (r3; verified to 1.6e-7 against the
+    pad/reshape rel-shift). W_pos's bias (if any) adds a per-row constant
+    to every key -- softmax-invariant -- and is dropped. Everything stays
+    PACKED (B, T, H*width): no head transposes around the kernel
+    (ops/flash_attention.py layout lesson)."""
+    b, t, c = x.shape
+    d_k = c // n_heads
+    q = linear(p["q"], x)  # (B, T, C) packed
+    k = linear(p["k"], x)
+    v = linear(p["v"], x)
+    q_u = q + p["pos_bias_u"].reshape(-1)
+    q_v = q + p["pos_bias_v"].reshape(-1)
+
+    # fold the learned pos projection into the query: qw[b,t,h,cc] =
+    # sum_d q_v[b,t,h,d] * W_pos[cc, h*D+d]  (W stored (in, out))
+    w_pos = p["pos"]["w"].reshape(c, n_heads, d_k)  # (C, H, D)
+    qw = jnp.einsum(
+        "bthd,chd->bthc", q_v.reshape(b, t, n_heads, d_k), w_pos,
+        preferred_element_type=jnp.float32,
+    )  # (B, T, H, C)
+
+    sin_t, cos_t = _sinusoid_tables(t, c)
+    sin_t = jnp.asarray(sin_t)[None, :, None]  # (1, T, 1, C/2)
+    cos_t = jnp.asarray(cos_t)[None, :, None]
+    qe, qo = qw[..., 0::2], qw[..., 1::2]
+    # rope rotation by the query position (verified formulas)
+    qhat = jnp.stack(
+        [-qe * cos_t + qo * sin_t, qe * sin_t + qo * cos_t], axis=-1
+    ).reshape(b, t, n_heads * c)
+    shat = jnp.stack([sin_t[0, :, 0], cos_t[0, :, 0]], axis=-1).reshape(1, t, c)
+
+    from ...ops.flash_attention import flash_relpos_attention
+
+    tp = -(-t // 128) * 128
+    if tp != t:
+        pad2 = ((0, 0), (0, tp - t), (0, 0))
+        q_u, k, v, qhat, shat = (
+            jnp.pad(a, pad2) for a in (q_u, k, v, qhat, shat)
+        )
+    bias = (
+        jnp.where(key_mask, 0.0, -1.0e9).astype(jnp.float32)
+        if key_mask is not None
+        else jnp.zeros((b, t), jnp.float32)
+    )
+    bias = jnp.pad(bias, ((0, 0), (0, tp - t)), constant_values=-1.0e9)
+    h_blk = next(
+        (g for g in (2, 4, 8, 1) if n_heads % g == 0 and (g * d_k) % 128 == 0),
+        None,
+    )
+    out = flash_relpos_attention(
+        q_u.astype(x.dtype), qhat.astype(x.dtype), k.astype(x.dtype),
+        shat, v.astype(x.dtype), bias,
+        n_heads=n_heads, scale=1.0 / float(np.sqrt(d_k)),
+        interpret=jax.default_backend() == "cpu", heads_per_cell=h_blk,
+    )[:, :t]
+    if key_mask is not None:
+        # dense path zeroes pad-QUERY rows' probs; match by masking the out
+        out = out * key_mask[..., None].astype(out.dtype)
+    return linear(p["out"], out)
+
+
 def rel_pos_attention(p, x, pos_emb, n_heads, key_mask=None):
     """RelPositionMultiHeadedAttention (self-attention case)."""
     d_k = x.shape[-1] // n_heads
+    if FLASH_ATTENTION:
+        h_ok = any(
+            n_heads % g == 0 and (g * d_k) % 128 == 0 for g in (2, 4, 8, 1)
+        )
+        if h_ok and x.shape[-1] % 2 == 0:
+            return rel_pos_attention_flash(p, x, n_heads, key_mask)
     q = split_heads(linear(p["q"], x), n_heads)  # (B, H, T, D)
     k = split_heads(linear(p["k"], x), n_heads)
     v = split_heads(linear(p["v"], x), n_heads)

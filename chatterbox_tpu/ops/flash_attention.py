@@ -210,3 +210,84 @@ def flash_self_attention(
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=interpret,
     )(q, k, v, bias3)
+
+
+def _relpos_kernel(qu_ref, qh_ref, k_ref, sh_ref, v_ref, bias_ref, o_ref,
+                   *, heads_per_cell, d, c, scale):
+    """Conformer rel-pos attention, flash form (see
+    flash_relpos_attention). Per head: scores = (q_u . k^T + qhat . shat^T)
+    * scale + bias -- the ESPnet rel-shift term bd[t,s] = q_v . W_pos
+    pe(t-s) decomposed EXACTLY into a rope-rotated C-wide query (qhat)
+    against the absolute sinusoid table (shat); no (T, 2T-1) tensor and no
+    shift exist anywhere."""
+    bias = bias_ref[0, 0:1, :]  # (1, T)
+    outs = []
+    for hh in range(heads_per_cell):
+        qu = qu_ref[0][:, hh * d : (hh + 1) * d]       # (Tq, D)
+        qh = qh_ref[0][:, hh * c : (hh + 1) * c]       # (Tq, C)
+        k = k_ref[0][:, hh * d : (hh + 1) * d]         # (T, D)
+        v = v_ref[0][:, hh * d : (hh + 1) * d]
+        sh = sh_ref[0]                                  # (T, C)
+        ac = lax.dot_general(
+            qu, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        bd = lax.dot_general(
+            qh, sh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = (ac + bd) * scale + bias  # (Tq, T)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        out = lax.dot_general(
+            (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(out)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "scale", "interpret", "heads_per_cell")
+)
+def flash_relpos_attention(
+    q_u, q_hat, k, s_hat, v, key_bias, n_heads: int, scale: float,
+    interpret: bool = False, heads_per_cell: int = 2,
+):
+    """ESPnet rel-pos self-attention (Transformer-XL style) fused in VMEM.
+
+    q_u, k, v: (B, T, H*D) packed; q_hat: (B, T, H*C) the rope-decomposed
+    bd query (C = model width); s_hat: (1, T, C) absolute sinusoid table
+    (shared across heads); key_bias (B, T) additive f32. T % 128 == 0.
+    Returns (B, T, H*D).
+
+    Replaces the dense path's (B, H, T, T) ac + (B, H, T, 2T-1) bd
+    materialization + rel-shift (conformer.py): the bd term is computed
+    DIRECTLY as qhat @ shat^T inside the kernel via the exact sinusoid
+    angle-addition decomposition (see rel_pos_attention_flash)."""
+    b, t, hd = q_u.shape
+    assert t % 128 == 0, t
+    d = hd // n_heads
+    c = q_hat.shape[-1] // n_heads
+    h_blk = int(heads_per_cell)
+    assert n_heads % h_blk == 0 and (h_blk * d) % 128 == 0, (n_heads, h_blk, d)
+    grid = (b, n_heads // h_blk)
+    bias3 = jnp.tile(key_bias.astype(jnp.float32)[:, None, :], (1, 8, 1))
+
+    return pl.pallas_call(
+        functools.partial(
+            _relpos_kernel, heads_per_cell=h_blk, d=d, c=c, scale=scale
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, h_blk * c), lambda bi, hi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, c), lambda bi, hi: (0, 0, 0)),
+            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
+            pl.BlockSpec((1, 8, t), lambda bi, hi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, t, hd), q_u.dtype),
+        interpret=interpret,
+    )(q_u, q_hat, k, s_hat, v, bias3)

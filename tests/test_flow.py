@@ -184,3 +184,36 @@ def test_rel_shift_pad_reshape_equals_gather():
         idx = (np.arange(t)[None, :] - np.arange(t)[:, None]) + t - 1
         ref = np.take_along_axis(np.asarray(bd), idx[None, None], axis=-1)
         np.testing.assert_array_equal(np.asarray(_rel_shift_bd(bd)), ref)
+
+
+def test_relpos_flash_matches_dense():
+    """The flash rel-pos path (exact rope/sinusoid decomposition of the
+    ESPnet bd term, ops/flash_attention.flash_relpos_attention) must equal
+    the dense einsum + rel-shift path."""
+    from chatterbox_tpu.models.s3gen import conformer as cm
+
+    cfg = ConformerConfig(input_size=128, output_size=128, attention_heads=4,
+                          linear_units=256, num_blocks=1, num_up_blocks=1)
+    p = jax.jit(lambda k: cm._init_layer(k, cfg))(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    b, t, c = 2, 50, 128
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)) * 0.3
+    xs, pos = cm.rel_pos_encoding(x, c)
+    mask = jnp.asarray(np.arange(t)[None] < np.array([[t], [t - 13]]))
+
+    dense = cm.rel_pos_attention(
+        p["attn"], xs, pos, cfg.attention_heads, key_mask=mask
+    ) if not cm.FLASH_ATTENTION else None
+    old = cm.FLASH_ATTENTION
+    try:
+        cm.FLASH_ATTENTION = False
+        dense = cm.rel_pos_attention(p["attn"], xs, pos, cfg.attention_heads, key_mask=mask)
+        cm.FLASH_ATTENTION = True
+        flash = cm.rel_pos_attention(p["attn"], xs, pos, cfg.attention_heads, key_mask=mask)
+    finally:
+        cm.FLASH_ATTENTION = old
+    d = np.asarray(dense)
+    f = np.asarray(flash)
+    # compare valid query rows only (dense zeroes pad rows; flash masks them)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(f[m], d[m], atol=2e-4, rtol=1e-3)
