@@ -232,14 +232,27 @@ class _ChunkSynthesizer:
             tts._cfm_noise_np = np.asarray(tts._cfm_noise[0])
         self._noise_np = tts._cfm_noise_np
 
-    def _flow_fn(self, win_tok: int):
-        key = ("stream_flow", self.b, win_tok, int(self.conds.gen.prompt_token.shape[1]))
+    def _synth_fn(self, win_tok: int, n_frames: int):
+        """ONE fused per-tick dispatch: CFM-noise window gather -> flow ->
+        per-row vocoder-span slice -> additive-noise draw -> masked chunked
+        vocode -> int16 PCM. Everything stays on device: the unfused r3
+        hardware measurement showed every tick paying a ~0.6 MB CFM-noise
+        upload, a flow-mel round-trip, a ~1 MB additive-noise upload and
+        4-5 tunnel round-trips (~28 ms each) -- the reason 4 concurrent
+        lockstep streams measured per-stream RTF ~1.0 instead of ~0.4."""
+        key = ("stream_synth", self.b, win_tok, n_frames,
+               int(self.conds.gen.prompt_token.shape[1]), self.tts.hift_bf16)
         fn = self.tts._jit_s3gen.get(key)
         if fn is None:
             cfg = self.tts.s3gen_cfg
+            hift_dtype = jnp.bfloat16 if self.tts.hift_bf16 else None
+            h = cfg.hift.nb_harmonics + 1
 
             @jax.jit
-            def fn(p, tokens, lens, ref, noise):
+            def fn(p, tokens, lens, ref, noise_full, w0s, voc_lo, n_valid,
+                   phase_noise, f0_cum, rng):
+                from jax import lax
+
                 bb = tokens.shape[0]
                 ref = type(ref)(
                     *[
@@ -247,31 +260,47 @@ class _ChunkSynthesizer:
                         for x in ref
                     ]
                 )
+                p_len = ref.prompt_token.shape[1]
+                # CFM noise aligned to ABSOLUTE mel positions, gathered on
+                # device: row = [noise[:2*p_len] | noise[gen_lo : +2*win]]
+                head = noise_full[0, : MEL_PER_TOKEN * p_len]
+                gen = jax.vmap(
+                    lambda w0: lax.dynamic_slice(
+                        noise_full[0],
+                        (MEL_PER_TOKEN * (p_len + w0), 0),
+                        (MEL_PER_TOKEN * win_tok, 80),
+                    )
+                )(w0s)
+                noise = jnp.concatenate(
+                    [jnp.broadcast_to(head, (bb,) + head.shape), gen], axis=1
+                )
                 mel, _ = flow_inference(
                     p["flow"], cfg.flow, tokens, lens,
                     ref.prompt_token, ref.prompt_token_len, ref.prompt_feat,
                     ref.embedding, noise,
                 )
-                return mel[:, ref.prompt_feat.shape[1] :]  # (B, 2*win, 80)
-
-            self.tts._jit_s3gen[key] = fn
-        return fn
-
-    def _hift_fn(self, n_frames: int):
-        key = ("stream_hift", self.b, n_frames, self.tts.hift_bf16)
-        fn = self.tts._jit_s3gen.get(key)
-        if fn is None:
-            cfg = self.tts.s3gen_cfg
-            hift_dtype = jnp.bfloat16 if self.tts.hift_bf16 else None
-
-            @jax.jit
-            def fn(p, mel, phase_noise, add_noise, f0_cum, n_valid):
-                return hift_generate(
-                    p["hift"], cfg.hift, mel,
+                mel = mel[:, MEL_PER_TOKEN * p_len :]  # (B, 2*win, 80)
+                # per-row vocoder span [voc_lo, voc_lo + n_valid) left-packed
+                # (zero-pad so the slice never clamps; pad region is masked)
+                mel = jnp.pad(mel, ((0, 0), (0, n_frames), (0, 0)))
+                voc_mel = jax.vmap(
+                    lambda m, o: lax.dynamic_slice(m, (o, 0), (n_frames, 80))
+                )(mel, voc_lo)
+                # per-row additive noise drawn on device (threefry compiles
+                # once per bucket, persistent-cached) -- replaces the ~1 MB
+                # host upload per tick; deterministic per (rng key)
+                add_noise = jax.random.normal(
+                    rng, (bb, h, n_frames * SAMPLES_PER_FRAME)
+                )
+                wav, _, f0 = hift_generate(
+                    p["hift"], cfg.hift, voc_mel,
                     phase_noise=phase_noise, additive_noise=add_noise,
                     f0_cum_init=f0_cum, return_f0=True,
                     compute_dtype=hift_dtype, n_valid=n_valid,
                 )
+                # int16 PCM readback halves the ~13 MB/s tunnel transfer
+                pcm = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+                return pcm, f0
 
             self.tts._jit_s3gen[key] = fn
         return fn
@@ -285,7 +314,7 @@ class _ChunkSynthesizer:
         if not active:
             return [None] * b
 
-        # --- batched flow over per-row sliding windows ---
+        # --- per-row sliding windows (host: indices only) ---
         w0s, windows = [0] * b, [np.zeros((0,), np.int64)] * b
         for i in range(b):
             w0s[i] = max(0, self.n_done[i] - st.flow_ctx_tokens)
@@ -293,24 +322,10 @@ class _ChunkSynthesizer:
         win_b = -(-max(len(windows[i]) for i in active) // st.chunk_tokens) * st.chunk_tokens
         tok = np.zeros((b, win_b), np.int32)
         lens = np.zeros((b,), np.int32)
-        p_len = int(self.conds.gen.prompt_token.shape[1])
-        total = MEL_PER_TOKEN * (p_len + win_b)
-        noise = self._noise_np
-        buf = np.zeros((b, total, 80), np.float32)
         for i in active:
-            w = windows[i]
-            tok[i, : len(w)] = w
-            lens[i] = len(w)
-            # CFM noise aligned to ABSOLUTE mel positions: [prompt | w0*2 ...]
-            buf[i, : MEL_PER_TOKEN * p_len] = noise[: MEL_PER_TOKEN * p_len]
-            gen_lo = MEL_PER_TOKEN * (p_len + w0s[i])
-            buf[i, MEL_PER_TOKEN * p_len :] = noise[gen_lo : gen_lo + MEL_PER_TOKEN * win_b]
-        mel = self._flow_fn(win_b)(
-            self.tts.s3gen_params, jnp.asarray(tok), jnp.asarray(lens),
-            self.conds.gen, jnp.asarray(buf),
-        )  # (B, 2*win_b, 80); row i valid for tokens [w0_i : w0_i+len(w_i))
+            tok[i, : len(windows[i])] = windows[i]
+            lens[i] = len(windows[i])
 
-        # --- batched masked vocode: rows left-aligned, right-padded ---
         new_lo = [MEL_PER_TOKEN * (self.n_done[i] - w0s[i]) for i in range(b)]
         voc_hi = [MEL_PER_TOKEN * len(windows[i]) for i in range(b)]
         raw_span = [
@@ -322,31 +337,28 @@ class _ChunkSynthesizer:
         n_frames = -(-max(raw_span) // 50) * 50
         voc_lo = [max(0, voc_hi[i] - n_frames) for i in range(b)]
         n_valid = np.zeros((b,), np.int32)
-        voc_mel = np.zeros((b, n_frames, 80), np.float32)
-        mel_np = np.asarray(mel)
-        h = self.tts.s3gen_cfg.hift.nb_harmonics + 1
-        add_noise = np.zeros((b, h, n_frames * SAMPLES_PER_FRAME), np.float32)
         f0_cum = np.zeros((b,), np.float32)
         abs_voc_lo = [0] * b
         for i in active:
-            span = voc_hi[i] - voc_lo[i]
-            n_valid[i] = span
-            voc_mel[i, :span] = mel_np[i, voc_lo[i] : voc_hi[i]]
+            n_valid[i] = voc_hi[i] - voc_lo[i]
             abs_voc_lo[i] = w0s[i] * MEL_PER_TOKEN + voc_lo[i]
-            rng = np.random.default_rng((self.seed + i, abs_voc_lo[i]))
-            add_noise[i, :, : span * SAMPLES_PER_FRAME] = rng.standard_normal(
-                (h, span * SAMPLES_PER_FRAME)
-            ).astype(np.float32)
             f0_cum[i] = (
                 np.sum(self.f0_hist[i][: abs_voc_lo[i]])
                 * SAMPLES_PER_FRAME
                 / self.tts.s3gen_cfg.hift.sampling_rate
             )
-        wav, _, f0 = self._hift_fn(n_frames)(
-            self.tts.s3gen_params, jnp.asarray(voc_mel), self.phase_noise,
-            jnp.asarray(add_noise), jnp.asarray(f0_cum), jnp.asarray(n_valid),
+        # deterministic per (stream seed, tick progress); drawn ON device
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 101), max(abs_voc_lo)
         )
-        wav = np.asarray(wav)
+        pcm, f0 = self._synth_fn(win_b, n_frames)(
+            self.tts.s3gen_params, jnp.asarray(tok), jnp.asarray(lens),
+            self.conds.gen, self.tts._cfm_noise,
+            jnp.asarray(np.array(w0s, np.int32)),
+            jnp.asarray(np.array(voc_lo, np.int32)),
+            jnp.asarray(n_valid), self.phase_noise, jnp.asarray(f0_cum), rng,
+        )
+        wav = np.asarray(pcm).astype(np.float32) / 32767.0
         f0 = np.asarray(f0)
 
         outs: List[Optional[np.ndarray]] = [None] * b
