@@ -142,7 +142,23 @@ def register():
     packages are somehow present)."""
     if "librosa" not in sys.modules:
         sys.modules["librosa"] = _make_librosa()
+    else:
+        # another test module may have pre-registered a BARE librosa stub
+        # (e.g. test_conditioning, whose reference imports never call
+        # filters.mel); the suite shares one process, so repair it instead
+        # of leaving `from librosa.filters import mel` to fail on order
+        filters = getattr(sys.modules["librosa"], "filters", None)
+        if filters is not None and not hasattr(filters, "mel"):
+            filters.mel = _make_librosa().filters.mel
     if "torchaudio" not in sys.modules:
         sys.modules["torchaudio"] = _make_torchaudio()
+    else:
+        ta = sys.modules["torchaudio"]
+        if not hasattr(ta, "transforms"):
+            full = _make_torchaudio()
+            ta.transforms = full.transforms
+            sys.modules["torchaudio.transforms"] = full.transforms
+        if not hasattr(ta, "__path__"):
+            ta.__path__ = []  # xvector.py:12 imports a submodule
     if "s3tokenizer" not in sys.modules:
         sys.modules["s3tokenizer"] = _make_s3tokenizer()
