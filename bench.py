@@ -3,48 +3,107 @@ metric). Runs the full-size pipeline (random-init weights -- no checkpoint
 egress in this environment; throughput is weight-value-independent) end to
 end: text tokens -> T3 CFG decode -> S3Gen flow -> HiFT vocoder.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run (no config flags) emits the FULL measured matrix, one JSON line
+per config on stdout: TTS b1/b8/b16/b32 @250 tokens, long-form b8/b16 @1000,
+VC b8/b32, and 4 concurrent streams -- then re-prints the b8 headline as the
+final line (the driver parses the last line). Passing --batch/--tokens/--vc/
+--tiny/--real-conds selects a single config (legacy behavior).
+
 Reference floor: ~1.3 audio-sec/s single-stream GPU (BASELINE.md).
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def bench_vc(args, log):
-    """Batched end-to-end voice conversion (BASELINE config 5): source wavs
-    -> S3 tokens -> S3Gen resynthesis with target conditioning -> watermark.
-    Same metric as TTS: audio-seconds synthesized per second per chip."""
-    import jax
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(result, headline=False):
+    print(json.dumps(result), flush=True)
+    return result
+
+
+# --------------------------------------------------------------------- models
+def tiny_cfgs():
+    from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
+    from chatterbox_tpu.models.s3gen.flow import FlowConfig
+    from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig
+    from chatterbox_tpu.models.s3gen.unet import UNetConfig
+    from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
+    from chatterbox_tpu.models.t3.llama import LlamaConfig
+    from chatterbox_tpu.models.t3.t3 import T3Config
+
+    t3_cfg = T3Config(
+        llama=LlamaConfig(hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=4, head_dim=32)
+    )
+    s3_cfg = S3GenConfig(
+        flow=FlowConfig(
+            input_size=128,
+            encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
+                                    linear_units=256, num_blocks=2, num_up_blocks=1),
+            estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
+        ),
+        tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
+    )
+    return t3_cfg, s3_cfg
+
+
+def synthetic_conds(rng):
     import jax.numpy as jnp
 
     from chatterbox_tpu.models.s3gen.s3gen import RefDict
+    from chatterbox_tpu.pipeline.conditionals import Conditionals, T3CondData
+
+    p_len = 125  # 5 s prompt at 25 tok/s
+    return Conditionals(
+        T3CondData(
+            jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 6561, (1, 150)).astype(np.int32)),
+            jnp.full((1,), 0.5),
+        ),
+        RefDict(
+            jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
+            jnp.full((1,), p_len, jnp.int32),
+            jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+        ),
+    )
+
+
+def make_tts(args):
+    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
+
+    if args.tiny:
+        t3_cfg, s3_cfg = tiny_cfgs()
+        tts = ChatterboxTTS.from_random(seed=0, t3_cfg=t3_cfg, s3gen_cfg=s3_cfg)
+        args.tokens = min(args.tokens or 250, 32)
+    else:
+        tts = ChatterboxTTS.from_random(seed=0, synthetic=True)
+        if not args.fp32:
+            from chatterbox_tpu.runtime.precision import apply_tts_precision
+
+            apply_tts_precision(tts)
+    return tts
+
+
+def make_vc(args):
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.models.s3gen.s3gen import RefDict, S3GenConfig, init_s3gen
     from chatterbox_tpu.pipeline.vc import ChatterboxVC
     from chatterbox_tpu.runtime.fast_init import synthetic_init
     from chatterbox_tpu.runtime.precision import cast_floating_jit
 
-    from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig, init_s3gen
-
     if args.tiny:
-        from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
-        from chatterbox_tpu.models.s3gen.flow import FlowConfig
-        from chatterbox_tpu.models.s3gen.unet import UNetConfig
-        from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
-
-        cfg = S3GenConfig(
-            flow=FlowConfig(
-                input_size=128,
-                encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
-                                        linear_units=256, num_blocks=2, num_up_blocks=1),
-                estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
-            ),
-            tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
-        )
-        args.tokens = min(args.tokens, 32)
+        _, cfg = tiny_cfgs()
     else:
         cfg = S3GenConfig()
     params = synthetic_init(lambda k: init_s3gen(k, cfg))
@@ -61,114 +120,211 @@ def bench_vc(args, log):
         jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
         jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
     )
-    log("vc model ready")
+    return vc
 
-    # 10 s sources at 16 kHz -> 250 tokens each (the TTS bench's audio budget)
-    secs = args.tokens / 25.0
-    sources = [
-        (rng.standard_normal(int(secs * 16000)) * 0.1).astype(np.float32)
-        for _ in range(args.batch)
-    ]
+
+# ------------------------------------------------------------------- configs
+def bench_tts_config(tts, batch, tokens, iters, extra_detail=None):
+    """One TTS throughput point: pipelined batches at (batch, tokens)."""
+    import jax
+
+    text = "The quick brown fox jumps over the lazy dog near the river bank today."
+    texts = [text] * batch
+    gen_kw = dict(max_new_tokens=tokens, min_new_tokens=tokens - 1)
+
     t0 = time.time()
-    outs = vc.generate_batch(sources, seed=0)
+    # warm through the SAME path the timed loop uses (batches larger than
+    # the HBM cap are chunked -- the chunk graphs must be compiled here,
+    # not inside the timed iterations)
+    tts.generate_batches_pipelined([texts], seed=0, **gen_kw)
     compile_s = time.time() - t0
-    log(f"first call (compile+run) {compile_s:.1f}s")
+    log(f"tts b{batch}@{tokens}: first call (compile+run) {compile_s:.1f}s")
 
-    # steady state: pipelined batches (host readback overlaps device work);
+    # steady state: pipelined batches (host collection overlaps device work);
     # only the total is truly measured -- collection interleaves batches, so
-    # per-iteration splits would be invented numbers
+    # per-iteration splits would be invented numbers.
+    # iters >= 6: at 2, the final batch's exposed host readback (~13 MB/s
+    # tunnel, scripts/probe_transfer*.py) skews throughput ~4% low
     t0 = time.time()
-    all_outs = vc.generate_batches_pipelined([sources] * args.iters, seed=1)
-    total = time.time() - t0
-    outs = all_outs[-1]
-    audio_s = sum(len(w) for w in outs) / 24000.0
-    thr = audio_s * args.iters / total
-    print(json.dumps({
-        "metric": f"vc_audio_sec_per_s_per_chip_b{args.batch}",
+    batch_results = tts.generate_batches_pipelined([texts] * iters, seed=1, **gen_kw)
+    total_t = time.time() - t0
+    audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
+    thr = float(np.sum(audio_secs) / total_t)
+
+    suffix = f"_b{batch}" if tokens == 250 else f"_b{batch}_t{tokens}"
+    result = {
+        "metric": f"audio_sec_per_s_per_chip{suffix}",
         "value": round(thr, 3),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(thr / 1.3, 3),
-    }))
-    print(json.dumps({"detail": {
+    }
+    detail = {
         "compile_s": round(compile_s, 1),
-        "total_s": round(total, 2),
-        "iters": args.iters,
-        "iter_s_mean": round(total / args.iters, 2),
-        "audio_s_per_iter": round(audio_s, 1),
+        "total_s": round(total_t, 2),
+        "iters": iters,
+        "iter_s_mean": round(total_t / iters, 2),
+        "audio_s_per_iter": [round(a, 1) for a in audio_secs],
         "platform": jax.devices()[0].platform,
-        "batch": args.batch,
-    }}), file=sys.stderr)
+        "batch": batch,
+        "tokens": tokens,
+        **(extra_detail or {}),
+    }
+    print(json.dumps({"detail": {result["metric"]: detail}}), file=sys.stderr, flush=True)
+    return result
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--tokens", type=int, default=250, help="max new speech tokens (25/s)")
-    # 6 iterations: with 2, the final batch's exposed host readback (~13 MB/s
-    # tunnel, measured scripts/probe_transfer*.py) skews the steady-state
-    # throughput ~4% low; at 6 every timed iteration is device-bound
-    ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
-    ap.add_argument("--real-conds", action="store_true",
-                    help="run the real conditioning models (slow remote compile)")
-    ap.add_argument("--vc", action="store_true",
-                    help="benchmark batched voice conversion (BASELINE config 5) instead of TTS")
-    args = ap.parse_args()
-
+def bench_vc_config(vc, batch, tokens, iters):
+    """Batched end-to-end voice conversion (BASELINE config 5): source wavs
+    -> S3 tokens -> S3Gen resynthesis with target conditioning -> watermark."""
     import jax
 
-    # persistent compilation cache: first-run compiles amortize across runs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    rng = np.random.default_rng(0)
+    secs = tokens / 25.0
+    sources = [
+        (rng.standard_normal(int(secs * 16000)) * 0.1).astype(np.float32)
+        for _ in range(batch)
+    ]
+    t0 = time.time()
+    vc.generate_batch(sources, seed=0)
+    compile_s = time.time() - t0
+    log(f"vc b{batch}: first call (compile+run) {compile_s:.1f}s")
 
-    def log(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    t0 = time.time()
+    all_outs = vc.generate_batches_pipelined([sources] * iters, seed=1)
+    total = time.time() - t0
+    audio_s = sum(len(w) for w in all_outs[-1]) / 24000.0
+    thr = audio_s * iters / total
+    result = {
+        "metric": f"vc_audio_sec_per_s_per_chip_b{batch}",
+        "value": round(thr, 3),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(thr / 1.3, 3),
+    }
+    print(json.dumps({"detail": {result["metric"]: {
+        "compile_s": round(compile_s, 1),
+        "total_s": round(total, 2),
+        "iters": iters,
+        "iter_s_mean": round(total / iters, 2),
+        "audio_s_per_iter": round(audio_s, 1),
+        "platform": jax.devices()[0].platform,
+        "batch": batch,
+    }}}), file=sys.stderr, flush=True)
+    return result
 
-    if args.cpu or args.tiny:
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
-    if args.vc:
-        return bench_vc(args, log)
+STREAM_TEXTS = [
+    "The quick brown fox jumps over the lazy dog near the river bank today.",
+    "A second speaker reads an entirely different sentence about mountains.",
+    "Stream three narrates the weather forecast for the coming weekend now.",
+    "Speaker four describes a recipe for fresh bread with honey and butter.",
+]
 
-    from chatterbox_tpu.pipeline.tts import ChatterboxTTS
 
-    if args.tiny:
-        from chatterbox_tpu.models.s3gen.conformer import ConformerConfig
-        from chatterbox_tpu.models.s3gen.flow import FlowConfig
-        from chatterbox_tpu.models.s3gen.s3gen import S3GenConfig
-        from chatterbox_tpu.models.s3gen.unet import UNetConfig
-        from chatterbox_tpu.models.s3tokenizer import S3TokenizerConfig
-        from chatterbox_tpu.models.t3.llama import LlamaConfig
-        from chatterbox_tpu.models.t3.t3 import T3Config
+def bench_stream_config(tts, n_streams, tokens):
+    """N lockstep concurrent streams: per-stream TTFA + RTF, aggregate
+    throughput (scripts/bench_stream_concurrent.py is the full sweep)."""
+    from chatterbox_tpu.pipeline.streaming import StreamConfig, stream_generate_batch
 
-        t3_cfg = T3Config(
-            llama=LlamaConfig(hidden_size=128, intermediate_size=256, num_hidden_layers=2,
-                              num_attention_heads=4, num_key_value_heads=4, head_dim=32)
-        )
-        s3_cfg = S3GenConfig(
-            flow=FlowConfig(
-                input_size=128,
-                encoder=ConformerConfig(input_size=128, output_size=128, attention_heads=4,
-                                        linear_units=256, num_blocks=2, num_up_blocks=1),
-                estimator=UNetConfig(channels=64, n_blocks=1, num_mid_blocks=2, num_heads=4),
-            ),
-            tokenizer=S3TokenizerConfig(n_state=64, n_head=4, n_layer=2),
-        )
-        tts = ChatterboxTTS.from_random(seed=0, t3_cfg=t3_cfg, s3gen_cfg=s3_cfg)
-        args.tokens = min(args.tokens, 32)
+    texts = (STREAM_TEXTS * ((n_streams + 3) // 4))[:n_streams]
+    st = StreamConfig(max_new_tokens=tokens)
+    kw = dict(seed=0, min_new_tokens=tokens - 1)
+
+    t0 = time.time()
+    for _ in stream_generate_batch(tts, texts, stream=st, **kw):
+        pass  # warm every shape bucket (compiles persist-cache across runs)
+    log(f"stream N={n_streams}: warm pass {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    ttfa = [None] * n_streams
+    audio = [0.0] * n_streams
+    for chunks in stream_generate_batch(tts, texts, stream=st, **kw):
+        now = time.time()
+        for i, c in enumerate(chunks):
+            if c is not None and len(c):
+                if ttfa[i] is None:
+                    ttfa[i] = now - t0
+                audio[i] += len(c) / 24000.0
+    wall = time.time() - t0
+    agg = sum(audio) / wall
+    result = {
+        "metric": f"stream_aggregate_audio_sec_per_s_n{n_streams}",
+        "value": round(agg, 3),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(agg / 1.3, 3),
+    }
+    print(json.dumps({"detail": {result["metric"]: {
+        "wall_s": round(wall, 2),
+        "ttfa_s": [round(t, 3) if t is not None else None for t in ttfa],
+        "per_stream_rtf": [round(wall / a, 3) if a else None for a in audio],
+        "audio_s_per_stream": [round(a, 1) for a in audio],
+        "tokens": tokens,
+    }}}), file=sys.stderr, flush=True)
+    return result
+
+
+# ---------------------------------------------------------------------- main
+def run_matrix(args):
+    """Full measured matrix; each line prints as soon as it is measured, the
+    b8 headline repeats as the LAST stdout line. A failing config logs and
+    is skipped; a wall-clock budget guards the driver's timeout."""
+    budget_s = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "3300"))
+    t_start = time.time()
+    headline = None
+
+    tts = make_tts(args)
+    rng = np.random.default_rng(0)
+    tts.conds = synthetic_conds(rng)
+    log("tts model ready")
+
+    def guarded(name, fn):
+        nonlocal headline
+        if time.time() - t_start > budget_s:
+            log(f"SKIP {name}: over the {budget_s:.0f}s bench budget")
+            return
+        try:
+            r = emit(fn())
+            if headline is None:
+                headline = r
+        except Exception as e:  # keep the rest of the matrix alive
+            log(f"FAIL {name}: {type(e).__name__}: {e}")
+
+    iters = args.iters
+    if args.tiny:  # CPU smoke of the matrix plumbing
+        guarded("tts_b2", lambda: bench_tts_config(tts, 2, 16, iters))
+        guarded("stream_n2", lambda: bench_stream_config(tts, 2, 16))
     else:
-        tts = ChatterboxTTS.from_random(seed=0, synthetic=True)
-        if not args.fp32:
-            from chatterbox_tpu.runtime.precision import apply_tts_precision
+        guarded("tts_b8", lambda: bench_tts_config(tts, 8, 250, iters))
+        guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters))
+        guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters))
+        guarded("tts_b32", lambda: bench_tts_config(tts, 32, 250, iters))
+        guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters))
+        guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, iters))
+        guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250))
 
-            apply_tts_precision(tts)
+    try:
+        vc = make_vc(args)
+        log("vc model ready")
+        if args.tiny:
+            guarded("vc_b2", lambda: bench_vc_config(vc, 2, 16, iters))
+        else:
+            guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters))
+            guarded("vc_b32", lambda: bench_vc_config(vc, 32, 250, iters))
+    except Exception as e:
+        log(f"FAIL vc setup: {type(e).__name__}: {e}")
 
+    if headline is not None:
+        emit(headline)  # the driver parses the LAST line
+
+
+def run_single(args):
+    """One config (legacy CLI: --batch/--tokens/--vc/--real-conds/--tiny)."""
+    if args.vc:
+        vc = make_vc(args)
+        log("vc model ready")
+        emit(bench_vc_config(vc, args.batch, args.tokens, args.iters))
+        return
+
+    tts = make_tts(args)
     log("model init done")
     rng = np.random.default_rng(0)
     conds_detail = {}
@@ -191,78 +347,52 @@ def main():
     else:
         # synthetic conditionals: the metric is SYNTHESIS throughput; voice
         # conditioning is a one-time per-voice cost (reference: 0.93 s,
-        # BASELINE.md) and its conditioning models compile for ~12 min on the
-        # tunneled remote-compile backend. --real-conds exercises it.
-        import jax.numpy as jnp
-
-        from chatterbox_tpu.models.s3gen.s3gen import RefDict
-        from chatterbox_tpu.pipeline.conditionals import Conditionals, T3CondData
-
-        p_len = 125  # 5 s prompt at 25 tok/s
-        tts.conds = Conditionals(
-            T3CondData(
-                jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32)),
-                jnp.asarray(rng.integers(0, 6561, (1, 150)).astype(np.int32)),
-                jnp.full((1,), 0.5),
-            ),
-            RefDict(
-                jnp.asarray(rng.integers(0, 6561, (1, p_len)).astype(np.int32)),
-                jnp.full((1,), p_len, jnp.int32),
-                jnp.asarray(rng.standard_normal((1, 2 * p_len, 80)).astype(np.float32)),
-                jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
-            ),
-        )
+        # BASELINE.md) and its conditioning models compile for ~12 min on
+        # the tunneled remote-compile backend. --real-conds exercises it.
+        tts.conds = synthetic_conds(rng)
     log("conditioning done")
+    emit(bench_tts_config(tts, args.batch, args.tokens, args.iters, conds_detail))
 
-    text = "The quick brown fox jumps over the lazy dog near the river bank today."
-    texts = [text] * args.batch
 
-    gen_kw = dict(max_new_tokens=args.tokens, min_new_tokens=args.tokens - 1)
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--tokens", type=int, default=None,
+                    help="max new speech tokens (25/s)")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
+    ap.add_argument("--real-conds", action="store_true",
+                    help="run the real conditioning models (slow remote compile)")
+    ap.add_argument("--vc", action="store_true",
+                    help="benchmark batched voice conversion (BASELINE config 5)")
+    ap.add_argument("--matrix", action="store_true",
+                    help="force the full matrix (also the no-flag default)")
+    args = ap.parse_args()
 
-    t0 = time.time()
-    # warm through the SAME path the timed loop uses (batches larger than
-    # max_pipelined_batch are chunked -- the chunk graphs must be compiled
-    # here, not inside the timed iterations)
-    wavs = tts.generate_batches_pipelined([texts], seed=0, **gen_kw)[0]
-    compile_s = time.time() - t0
-    log(f"first call (compile+run) {compile_s:.1f}s")
+    single = (
+        args.batch is not None or args.tokens is not None or args.vc
+        or args.real_conds or args.tiny
+    ) and not args.matrix
+    args.batch = args.batch if args.batch is not None else 8
+    args.tokens = args.tokens if args.tokens is not None else 250
 
-    # steady state: pipelined batches (host collection overlaps device work);
-    # only the total is truly measured -- collection interleaves batches, so
-    # per-iteration splits would be invented numbers
-    t0 = time.time()
-    batch_results = tts.generate_batches_pipelined(
-        [texts] * args.iters, seed=1, **gen_kw
-    )
-    total_t = time.time() - t0
-    audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
+    import jax
 
-    thr = float(np.sum(audio_secs) / total_t)
-    result = {
-        "metric": f"audio_sec_per_s_per_chip_b{args.batch}",
-        "value": round(thr, 3),
-        "unit": "audio-sec/s/chip",
-        "vs_baseline": round(thr / 1.3, 3),
-    }
-    print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "compile_s": round(compile_s, 1),
-                    "total_s": round(total_t, 2),
-                    "iters": args.iters,
-                    "iter_s_mean": round(total_t / args.iters, 2),
-                    "audio_s_per_iter": [round(a, 1) for a in audio_secs],
-                    "platform": jax.devices()[0].platform,
-                    "batch": args.batch,
-                    "tokens": args.tokens,
-                    **conds_detail,
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
+    # persistent compilation cache: first-run compiles amortize across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    if args.cpu or args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    if single:
+        run_single(args)
+    else:
+        run_matrix(args)
 
 
 if __name__ == "__main__":

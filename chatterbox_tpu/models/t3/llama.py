@@ -174,6 +174,13 @@ def fuse_qkv_params(params):
     return {**params, "layers": layers}
 
 
+def canonicalize_llama_params(params, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    """Restore the canonical dense separate-q/k/v layout from any runtime
+    layout (fused qkv and/or int8-quantized weights): checkpoints, sharding
+    specs and converters all address the canonical form."""
+    return unfuse_qkv_params(dequantize_llama_weights(params, dtype), cfg)
+
+
 def unfuse_qkv_params(params, cfg: LlamaConfig):
     """Inverse of fuse_qkv_params: restore the canonical separate q/k/v
     layout (converters, sharding specs and checkpoints use it)."""
@@ -189,15 +196,70 @@ def unfuse_qkv_params(params, cfg: LlamaConfig):
     return {**params, "layers": layers}
 
 
+QUANT_WEIGHT_NAMES = ("qkv", "q", "k", "v", "o", "gate_up", "gate", "up", "down")
+
+
+def quantize_llama_weights(params):
+    """Weight-only int8 quantization of the decode matmul chain.
+
+    Each projection weight (l, c, n) becomes {"w8": int8 (l, c, n),
+    "scale": f32 (l, n)} with symmetric per-OUTPUT-channel scales
+    (``w ~= w8 * scale[None, :]``). The matmuls dequantize in-register
+    (``_wmat``): XLA fuses the int8->bf16 convert into the dot's operand
+    read, so the decode step streams HALF the weight bytes from HBM -- the
+    dominant per-step cost (1.53 ms of 3.33 at 87% of achievable HBM BW,
+    docs/PERFORMANCE.md roofline). Norm scales, embeddings and heads stay
+    bf16. Apply AFTER fuse_qkv_params; returns a new pytree."""
+
+    def quant(wp):
+        w = wp["w"].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(w), axis=-2)  # reduce the input-channel dim
+        scale = jnp.maximum(absmax / 127.0, 1e-12)
+        w8 = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127)
+        return {"w8": w8.astype(jnp.int8), "scale": scale}
+
+    layers = dict(params["layers"])
+    for name in QUANT_WEIGHT_NAMES:
+        if name in layers and "w" in layers[name]:
+            layers[name] = quant(layers[name])
+    return {**params, "layers": layers}
+
+
+def dequantize_llama_weights(params, dtype=jnp.bfloat16):
+    """Inverse of quantize_llama_weights (up to int8 rounding): restore the
+    dense {"w"} layout (checkpointing / sharding specs address it)."""
+    layers = dict(params["layers"])
+    for name in QUANT_WEIGHT_NAMES:
+        if name in layers and "w8" in layers[name]:
+            wp = layers[name]
+            layers[name] = {
+                "w": (
+                    wp["w8"].astype(jnp.float32) * wp["scale"][..., None, :]
+                ).astype(dtype)
+            }
+    return {**params, "layers": layers}
+
+
+def _wmat(y, wp):
+    """y @ W for a dense ({"w"}) or int8-quantized ({"w8","scale"}) weight.
+
+    The quantized form computes in y.dtype (bf16 on the hot path) and scales
+    the (tiny) output rows, not the weight: the convert rides the dot."""
+    if "w8" in wp:
+        out = jnp.matmul(y, wp["w8"].astype(y.dtype))
+        return out * wp["scale"].astype(y.dtype)
+    return jnp.matmul(y, wp["w"])
+
+
 def _qkv(lp, y, h, kvh, d):
     """Project y -> per-head q, k, v (fused weight when present)."""
     if "qkv" in lp:
-        qkv = jnp.matmul(y, lp["qkv"]["w"])
+        qkv = _wmat(y, lp["qkv"])
         q, k, v = jnp.split(qkv, [h * d, (h + kvh) * d], axis=-1)
     else:
-        q = jnp.matmul(y, lp["q"]["w"])
-        k = jnp.matmul(y, lp["k"]["w"])
-        v = jnp.matmul(y, lp["v"]["w"])
+        q = _wmat(y, lp["q"])
+        k = _wmat(y, lp["k"])
+        v = _wmat(y, lp["v"])
     return _split_heads(q, h, d), _split_heads(k, kvh, d), _split_heads(v, kvh, d)
 
 
@@ -236,22 +298,22 @@ def _layer(cfg: LlamaConfig, lp, x, cos, sin, mask_bias, cache_kv=None, cache_po
 
     a, probs = _attn(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask_bias)
     a = a.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], h * d)
-    x = res + jnp.matmul(a, lp["o"]["w"])
+    x = res + _wmat(a, lp["o"])
 
     res = x
     y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
     y = _mlp(lp, y)
-    x = res + jnp.matmul(y, lp["down"]["w"])
+    x = res + _wmat(y, lp["down"])
     return x, new_kv, probs
 
 
 def _mlp(lp, y):
     """SiLU-gated MLP; gate/up fused into one matmul when available."""
     if "gate_up" in lp:
-        gu = jnp.matmul(y, lp["gate_up"]["w"])
+        gu = _wmat(y, lp["gate_up"])
         g, u = jnp.split(gu, 2, axis=-1)
         return jax.nn.silu(g) * u
-    return jax.nn.silu(jnp.matmul(y, lp["gate"]["w"])) * jnp.matmul(y, lp["up"]["w"])
+    return jax.nn.silu(_wmat(y, lp["gate"])) * _wmat(y, lp["up"])
 
 
 def quantize_kv(kv, axis=-1):
@@ -437,11 +499,11 @@ def llama_decode_step(
             ).astype(v.dtype) + probs[..., s:].astype(v.dtype) * v
             a = a.transpose(0, 2, 1, 3).reshape(xx.shape[0], xx.shape[1], h_heads * d)
             attn_mean = jnp.mean(probs[:, :, 0, :s], axis=1)  # (B, S) head-mean
-        xx = res + jnp.matmul(a, lp["o"]["w"])
+        xx = res + _wmat(a, lp["o"])
         res = xx
         y = rms_norm(lp["post_ln"], xx, cfg.rms_norm_eps)
         y = _mlp(lp, y)
-        xx = res + jnp.matmul(y, lp["down"]["w"])
+        xx = res + _wmat(y, lp["down"])
         kv_dtype = tail.dtype if ds_layout else cache.dtype
         return xx, jnp.stack([k, v]).astype(kv_dtype), attn_mean
 
@@ -576,11 +638,11 @@ def llama_decode_step_unrolled(
         )
         a, probs = _attn(q, cache[i, 0].astype(q.dtype), cache[i, 1].astype(q.dtype), bias)
         a = a.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], h_heads * d)
-        x = res + jnp.matmul(a, lp["o"]["w"])
+        x = res + _wmat(a, lp["o"])
         res = x
         y = rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
         y = _mlp(lp, y)
-        x = res + jnp.matmul(y, lp["down"]["w"])
+        x = res + _wmat(y, lp["down"])
         if collect_attn_layer == i:
             attn_out = jnp.mean(probs[:, :, 0, :], axis=1)
 

@@ -142,7 +142,7 @@ def stream_generate_batch(
     )
 
     t3c = conds.t3
-    kvq = tts.kv_quant
+    kvq = tts._kv_quant_for(stream.max_new_tokens)
     key_s = ("stream_start", b, tmax, stream.max_new_tokens, sampling, kvq)
     start_fn = tts._jit_t3.get(key_s)
     if start_fn is None:

@@ -108,9 +108,13 @@ class ChatterboxTTS:
     # int8 KV cache with per-token scales in the flash-decode path: halves
     # the decode loop's dominant HBM read (~1% attention-output error,
     # measured on hardware -- scripts/probe_int8_cache.py / test_ops.py).
-    # Env override: CHATTERBOX_KV_QUANT=1/0.
-    kv_quant: bool = field(
-        default_factory=lambda: os.environ.get("CHATTERBOX_KV_QUANT", "0") == "1"
+    # None = auto policy (_kv_quant_for): ON for token budgets >= 500 where
+    # the measured win is ~+4%, OFF at short budgets where the truncated
+    # cache read makes it neutral. Env override: CHATTERBOX_KV_QUANT=1/0.
+    kv_quant: Optional[bool] = field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("CHATTERBOX_KV_QUANT", "auto")
+        )
     )
     # bf16 HiFT conv trunk (sine source + exp/sin/iSTFT head stay fp32):
     # 37-44 dB SNR vs the fp32 vocoder but MEASURED PERF-NEUTRAL on v5e
@@ -136,16 +140,25 @@ class ChatterboxTTS:
         self.mesh = None  # set via with_mesh() for multi-chip execution
 
     def _unfuse_qkv(self):
-        """Restore the canonical separate-q/k/v T3 layout if the runtime
-        fused it (runtime/precision.apply_tts_precision)."""
-        if "qkv" in self.t3_params.get("llama", {}).get("layers", {}):
-            from ..models.t3.llama import unfuse_qkv_params
+        """Restore the canonical dense separate-q/k/v T3 layout if the
+        runtime fused or int8-quantized it (runtime/precision)."""
+        if self._runtime_llama_layout(self.t3_params):
+            from ..models.t3.llama import canonicalize_llama_params
 
             t3p = dict(self.t3_params)
             t3p["llama"] = jax.jit(
-                lambda p: unfuse_qkv_params(p, self.t3_cfg.llama)
+                lambda p: canonicalize_llama_params(p, self.t3_cfg.llama)
             )(t3p["llama"])
             self.t3_params = t3p
+
+    @staticmethod
+    def _runtime_llama_layout(t3_params) -> bool:
+        """True if the llama params carry a runtime-only layout (fused qkv
+        and/or int8 weights) rather than the canonical dense q/k/v one."""
+        layers = t3_params.get("llama", {}).get("layers", {})
+        return "qkv" in layers or any(
+            isinstance(v, dict) and "w8" in v for v in layers.values()
+        )
 
     def with_mesh(self, mesh, model_sharded: bool = False) -> "ChatterboxTTS":
         """Place params on a ("data","model") mesh for sharded generation.
@@ -255,16 +268,17 @@ class ChatterboxTTS:
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        # checkpoints keep the canonical q/k/v layout; save an unfused COPY
-        # (reassigning self.t3_params would force a retrace of every cached
-        # T3 executable on a live server and drop the fused-layout speedup)
+        # checkpoints keep the canonical dense q/k/v layout; save a
+        # canonicalized COPY (reassigning self.t3_params would force a
+        # retrace of every cached T3 executable on a live server and drop
+        # the fused/quantized-layout speedup)
         t3_to_save = self.t3_params
-        if "qkv" in t3_to_save.get("llama", {}).get("layers", {}):
-            from ..models.t3.llama import unfuse_qkv_params
+        if self._runtime_llama_layout(t3_to_save):
+            from ..models.t3.llama import canonicalize_llama_params
 
             t3_to_save = dict(t3_to_save)
             t3_to_save["llama"] = jax.jit(
-                lambda p: unfuse_qkv_params(p, self.t3_cfg.llama)
+                lambda p: canonicalize_llama_params(p, self.t3_cfg.llama)
             )(t3_to_save["llama"])
         save_params(t3_to_save, out / "t3.jax.safetensors")
         save_params(self.s3gen_params, out / "s3gen.jax.safetensors")
@@ -444,13 +458,16 @@ class ChatterboxTTS:
             conds = conds.with_exaggeration(exaggeration)
 
         b = len(texts)
-        if b > self._budget_batch_cap(max_new_tokens, pipelined=False):
+        tok_rows = [self._cap_text_row(self._encode_text(t)) for t in texts]
+        lens = np.array([len(r) for r in tok_rows], np.int32)
+        tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
+        if b > self._budget_batch_cap(max_new_tokens, pipelined=False, text_bucket=tmax):
             # chunk through the pipelined path: each chunk's decode graph
             # fits HBM; chip work stays saturated via async dispatch
             assert not defer_collect, "defer_collect requires b <= max_device_batch"
             # split EVENLY under the cap (16 at cap 11 -> 8+8, not 11+5: the
             # straggler chunk wastes most of its dispatch)
-            cap0 = self._budget_batch_cap(max_new_tokens, pipelined=True)
+            cap0 = self._budget_batch_cap(max_new_tokens, pipelined=True, text_bucket=tmax)
             step = -(-b // -(-b // cap0))
             rows = self.generate_batches_pipelined(
                 [texts[i : i + step] for i in range(0, b, step)],
@@ -467,9 +484,6 @@ class ChatterboxTTS:
                 greedy=greedy,
             )
             return [w for chunk in rows for w in chunk]
-        tok_rows = [self._cap_text_row(self._encode_text(t)) for t in texts]
-        lens = np.array([len(r) for r in tok_rows], np.int32)
-        tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
         text_tokens = np.zeros((b, tmax), np.int32)
         for i, r in enumerate(tok_rows):
             text_tokens[i, : len(r)] = r
@@ -539,18 +553,32 @@ class ChatterboxTTS:
             )
         return self.collect((wav, wav_lens))
 
-    def _budget_batch_cap(self, max_new_tokens: int, pipelined: bool) -> int:
+    def _kv_quant_for(self, max_new_tokens: int) -> bool:
+        """Effective int8-KV policy for a token budget. An explicit flag
+        (constructor / CHATTERBOX_KV_QUANT) wins; the auto default enables
+        quantization only at long budgets, where the measured win is ~+4%
+        @1000 tokens vs neutral @250 (docs/PERFORMANCE.md A/B)."""
+        if self.kv_quant is not None:
+            return self.kv_quant
+        return max_new_tokens >= 500
+
+    def _budget_batch_cap(
+        self, max_new_tokens: int, pipelined: bool, text_bucket: int = 64
+    ) -> int:
         """Largest per-dispatch batch whose decode graph fits HBM at this
         token budget. The KV cache dominates: (L, 2, 2b CFG rows, H, D, S)
-        bf16 with S ~ cond + text + budget. Measured anchors (v5e, 16 GB):
-        b16 @1000 tokens (8.6 GB cache) OOM'd at the watermark dispatch;
-        b8 @1000 (4.3 GB) ran pipelined (two graphs in flight); b64 @250
-        (12.1 GB) fits one-shot but not two (max_pipelined_batch=32).
-        int8 KV (kv_quant) halves the cache bytes."""
+        bf16 with S ~ cond + text + budget. Measured anchors (v5e, 16 GB,
+        64-token text bucket): b16 @1000 tokens (8.6 GB cache) OOM'd at the
+        watermark dispatch; b8 @1000 (4.3 GB) ran pipelined (two graphs in
+        flight); b64 @250 (12.1 GB) fits one-shot but not two
+        (max_pipelined_batch=32). ``text_bucket`` is the caller's actual
+        padded text length -- a 512-bucket batch carries ~1.4x the cache of
+        the 64-bucket anchors at 1000 tokens and caps lower. int8 KV
+        (kv_quant / auto policy) halves the cache bytes."""
         cfg = self.t3_cfg.llama
-        s = 34 + 64 + 2 + max_new_tokens  # cond + typical text bucket + BOS
+        s = 34 + text_bucket + 2 + max_new_tokens  # cond + text bucket + BOS
         s = -(-s // 128) * 128
-        itemsize = 1 if self.kv_quant else 2
+        itemsize = 1 if self._kv_quant_for(max_new_tokens) else 2
         per_row = (
             cfg.num_hidden_layers * 2 * 2 * cfg.num_key_value_heads
             * cfg.head_dim * s * itemsize
@@ -591,7 +619,17 @@ class ChatterboxTTS:
                 "batched conds rows must match the total text count",
                 conds.t3.speaker_emb.shape[0], total,
             )
-        cap = self._budget_batch_cap(kw.get("max_new_tokens", 1000), pipelined=True)
+        # size chunks for the LONGEST text bucket any chunk will pad to (the
+        # cap must hold for the worst chunk; re-encoding later is cheap)
+        row_lens = [
+            len(self._cap_text_row(self._encode_text(t)))
+            for texts in batches
+            for t in texts
+        ]
+        tb = _bucket(max(row_lens, default=2), TEXT_BUCKETS)
+        cap = self._budget_batch_cap(
+            kw.get("max_new_tokens", 1000), pipelined=True, text_bucket=tb
+        )
         chunks = []  # (orig batch index, texts, conds row offset)
         off = 0
         for i, texts in enumerate(batches):
@@ -670,7 +708,8 @@ class ChatterboxTTS:
         return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
 
     def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig):
-        key = (b, tmax, max_new, sampling, self.mesh is None, self.kv_quant)
+        kvq = self._kv_quant_for(max_new)
+        key = (b, tmax, max_new, sampling, self.mesh is None, kvq)
         fn = self._jit_t3.get(key)
         if fn is None:
             cfg = self.t3_cfg
@@ -678,7 +717,7 @@ class ChatterboxTTS:
             # real GSPMD mesh, fall back to the XLA scan step (which GSPMD
             # partitions natively); single-chip keeps the kernel
             use_pallas = self.mesh is None
-            cache_quant = self.kv_quant and use_pallas
+            cache_quant = kvq and use_pallas
 
             @jax.jit
             def run(p, text, lens, spk, prompt, emo, rng):

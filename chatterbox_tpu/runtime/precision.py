@@ -10,6 +10,8 @@ autocast experiment REGRESSED throughput +30% memory, BASELINE.md):
     floors are precision-sensitive; the vocoder is a small fraction of FLOPs)
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -31,18 +33,29 @@ def cast_floating_jit(tree, dtype):
     return jax.jit(lambda t: cast_floating(t, dtype))(tree)
 
 
-def apply_tts_precision(tts, dtype=jnp.bfloat16):
+def apply_tts_precision(tts, dtype=jnp.bfloat16, weight_quant=None):
     """Cast a ChatterboxTTS instance's hot-path params in place. On a single
     chip, also fuse the T3 q/k/v projections into one matmul per layer
     (equivalent to fp-reassociation precision; 3.90 vs 3.95 ms/step measured
     at 16 CFG rows). Meshed runs keep the canonical layout the sharding
-    specs address."""
+    specs address.
+
+    ``weight_quant`` (default: CHATTERBOX_W_QUANT env, off) additionally
+    stores the T3 matmul-chain weights int8 with per-output-channel scales
+    (llama.quantize_llama_weights): the decode step's dominant cost is
+    streaming 1.02 GB of bf16 weights per token at ~87% of achievable HBM
+    bandwidth, and the int8 form halves those bytes. Single-chip only (the
+    sharding specs address the dense layout)."""
     tts.t3_params = cast_floating_jit(tts.t3_params, dtype)
+    if weight_quant is None:
+        weight_quant = os.environ.get("CHATTERBOX_W_QUANT", "0") == "1"
     if getattr(tts, "mesh", None) is None:
-        from ..models.t3.llama import fuse_qkv_params
+        from ..models.t3.llama import fuse_qkv_params, quantize_llama_weights
 
         t3p = dict(tts.t3_params)
         t3p["llama"] = jax.jit(fuse_qkv_params)(t3p["llama"])
+        if weight_quant:
+            t3p["llama"] = jax.jit(quantize_llama_weights)(t3p["llama"])
         tts.t3_params = t3p
     sp = dict(tts.s3gen_params)
     sp["flow"] = cast_floating_jit(sp["flow"], dtype)

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--pallas", action="store_true", help="flash-decode kernel in scan mode")
     ap.add_argument("--fuse-qkv", action="store_true", help="one fused qkv matmul per layer")
     ap.add_argument("--quant", action="store_true", help="int8 KV cache (pallas path)")
+    ap.add_argument("--wquant", action="store_true",
+                    help="int8 weight-only quantization of the matmul chain")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -51,6 +53,11 @@ def main():
 
         params = dict(params)
         params["llama"] = jax.jit(fuse_qkv_params)(params["llama"])
+    if args.wquant:
+        from chatterbox_tpu.models.t3.llama import quantize_llama_weights
+
+        params = dict(params)
+        params["llama"] = jax.jit(quantize_llama_weights)(params["llama"])
     log("params ready")
 
     b, tmax = args.batch, 32
@@ -91,7 +98,7 @@ def main():
     per_step_ms = 1000.0 * min(times) / steps
     print(json.dumps({
         "impl": impl, "unroll": unroll, "pallas": pallas, "fuse_qkv": args.fuse_qkv,
-        "quant": quant,
+        "quant": quant, "wquant": args.wquant,
         "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
         "cache_len": -(-(34 + tmax + 2 + args.tokens) // 128) * 128,
         "compile_s": round(compile_s, 1),

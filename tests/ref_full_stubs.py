@@ -39,23 +39,22 @@ def _module(name):
     return mod
 
 
+def _mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+    return mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax).astype(
+        np.float32
+    )
+
+
 def _make_librosa():
     librosa = _module("librosa")
     filters = _module("librosa.filters")
-
-    def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
-        return mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax).astype(
-            np.float32
-        )
-
-    filters.mel = mel
+    filters.mel = _mel
     librosa.filters = filters
     sys.modules["librosa.filters"] = filters
     return librosa
 
 
-def _make_torchaudio():
-    ta = _module("torchaudio")
+def _make_transforms():
     transforms = _module("torchaudio.transforms")
 
     class Resample:
@@ -66,8 +65,10 @@ def _make_torchaudio():
             )
 
     transforms.Resample = Resample
-    ta.transforms = transforms
-    ta.__path__ = []  # mark as a package: xvector.py:12 imports a submodule
+    return transforms
+
+
+def _make_compliance():
     compliance = _module("torchaudio.compliance")
     compliance.__path__ = []
     kaldi = _module("torchaudio.compliance.kaldi")
@@ -80,8 +81,16 @@ def _make_torchaudio():
 
     kaldi.fbank = fbank
     compliance.kaldi = kaldi
+    return compliance, kaldi
+
+
+def _make_torchaudio():
+    ta = _module("torchaudio")
+    ta.__path__ = []  # mark as a package: xvector.py:12 imports a submodule
+    ta.transforms = _make_transforms()
+    compliance, kaldi = _make_compliance()
     ta.compliance = compliance
-    sys.modules["torchaudio.transforms"] = transforms
+    sys.modules["torchaudio.transforms"] = ta.transforms
     sys.modules["torchaudio.compliance"] = compliance
     sys.modules["torchaudio.compliance.kaldi"] = kaldi
     return ta
@@ -146,19 +155,47 @@ def register():
         # another test module may have pre-registered a BARE librosa stub
         # (e.g. test_conditioning, whose reference imports never call
         # filters.mel); the suite shares one process, so repair it instead
-        # of leaving `from librosa.filters import mel` to fail on order
-        filters = getattr(sys.modules["librosa"], "filters", None)
-        if filters is not None and not hasattr(filters, "mel"):
-            filters.mel = _make_librosa().filters.mel
+        # of leaving `from librosa.filters import mel` to fail on order.
+        # Patch the EXISTING module objects in place (creating filters only
+        # if absent) so attribute access and import-by-name keep resolving
+        # to the same object.
+        librosa = sys.modules["librosa"]
+        filters = sys.modules.get("librosa.filters") or getattr(
+            librosa, "filters", None
+        )
+        if filters is None:
+            filters = _module("librosa.filters")
+        if not hasattr(filters, "mel"):
+            filters.mel = _mel
+        librosa.filters = filters
+        sys.modules["librosa.filters"] = filters
     if "torchaudio" not in sys.modules:
         sys.modules["torchaudio"] = _make_torchaudio()
     else:
+        # same identity rule for a pre-registered torchaudio stub: every
+        # submodule ends up as ONE object reachable both as an attribute
+        # and via sys.modules, whichever of the two already existed
         ta = sys.modules["torchaudio"]
-        if not hasattr(ta, "transforms"):
-            full = _make_torchaudio()
-            ta.transforms = full.transforms
-            sys.modules["torchaudio.transforms"] = full.transforms
         if not hasattr(ta, "__path__"):
             ta.__path__ = []  # xvector.py:12 imports a submodule
+        transforms = getattr(ta, "transforms", None) or sys.modules.get(
+            "torchaudio.transforms"
+        )
+        if transforms is None:
+            transforms = _make_transforms()
+        ta.transforms = transforms
+        sys.modules["torchaudio.transforms"] = transforms
+        compliance = getattr(ta, "compliance", None) or sys.modules.get(
+            "torchaudio.compliance"
+        )
+        if compliance is None or not hasattr(compliance, "kaldi"):
+            compliance, kaldi = _make_compliance()
+        else:
+            kaldi = compliance.kaldi
+        if not hasattr(compliance, "__path__"):
+            compliance.__path__ = []
+        ta.compliance = compliance
+        sys.modules["torchaudio.compliance"] = compliance
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
     if "s3tokenizer" not in sys.modules:
         sys.modules["s3tokenizer"] = _make_s3tokenizer()

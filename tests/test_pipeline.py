@@ -237,3 +237,25 @@ def test_oversized_batch_chunks_through_pipeline(tts):
     assert len(got) == 5
     for a, b in zip(got, ref):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_budget_batch_cap_text_bucket_and_kv_policy():
+    """HBM batch caps account for the ACTUAL text bucket (a 512-token text
+    batch carries a bigger KV cache than the 64-token anchors) and the int8
+    KV auto-policy (on >= 500 tokens) halves the cache bytes it budgets."""
+    t = ChatterboxTTS(t3_params={}, s3gen_params={}, ve_params={}, tokenizer=None)
+    assert t.kv_quant is None  # default: auto policy
+    assert not t._kv_quant_for(250) and t._kv_quant_for(500) and t._kv_quant_for(1000)
+    t.kv_quant = False
+    assert not t._kv_quant_for(1000)  # explicit flag wins
+    # long texts shrink the cap at a fixed budget (never grow it)
+    cap64 = t._budget_batch_cap(1000, pipelined=True, text_bucket=64)
+    cap512 = t._budget_batch_cap(1000, pipelined=True, text_bucket=512)
+    assert cap512 < cap64
+    # the 512-text/1000-token corner stays under the b16@1000 OOM anchor
+    # (8.6 GB bf16 cache at the 64 bucket OOM'd; 512-bucket rows are bigger)
+    assert cap512 * 2 <= 16
+    t.kv_quant = None  # auto int8 at 1000 tokens doubles the row budget
+    assert t._budget_batch_cap(1000, pipelined=True, text_bucket=64) >= cap64
+    # short budgets are unaffected by the auto policy (bf16 itemsize)
+    assert t._budget_batch_cap(250, pipelined=True, text_bucket=64) >= cap64
