@@ -157,6 +157,35 @@ def snake(p, x):
     return x + (1.0 / (alpha + 1e-9)) * jnp.sin(x * alpha) ** 2
 
 
+# least-squares fit of sin^2(pi f) / f^2 as a degree-4 polynomial in f^2 on
+# f in [-1/2, 1/2]: max abs error of the reconstructed sin^2 is 4.5e-6
+# (~133 dB SNR measured end to end, scripts/probe_snake.py)
+_SNAKE_POLY = (
+    9.869599831501965,
+    -32.468686165908665,
+    42.69306392165783,
+    -29.692025709511967,
+    11.062041862215489,
+)
+_INV_PI = 0.3183098861837907
+
+
+def snake_fast(p, x):
+    """snake() via mod-1 range reduction + a polynomial for sin^2 -- no
+    transcendentals, so the VPU runs it 7.8x faster than the jnp.sin form
+    (258.8 vs 33.0 Gelem/s measured on v5e, scripts/probe_snake.py) at
+    133 dB SNR. The vocoder is VPU-transcendental-bound (snake is most of
+    its activation work), which makes this the HiFT speed lever VERDICT r3
+    #7 asked for. Exact for |alpha*x| < 2^23 * pi (f32 round)."""
+    alpha = p["alpha"]
+    c0, c1, c2, c3, c4 = _SNAKE_POLY
+    t = x * (alpha * _INV_PI)
+    f = t - jnp.round(t)  # sin^2(pi t) == sin^2(pi f), f in [-1/2, 1/2]
+    z = f * f
+    sin2 = z * (c0 + z * (c1 + z * (c2 + z * (c3 + z * c4))))
+    return x + (1.0 / (alpha + 1e-9)) * sin2
+
+
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 

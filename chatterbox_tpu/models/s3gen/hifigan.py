@@ -199,10 +199,21 @@ def sine_source(
     return src.transpose(0, 2, 1)  # (B, L, H+1)
 
 
-def _resblock(p, x, kernel, dilations, snake_act=snake, mask=None):
+# snake implementation switch: the polynomial form is 7.8x faster on the
+# VPU at 133 dB SNR vs the jnp.sin form (scripts/probe_snake.py) -- far
+# above the 40 dB quality gate, so it is the default; set False to force
+# the transcendental-exact form (e.g. for bit-level torch comparisons).
+FAST_SNAKE = True
+
+
+def _resblock(p, x, kernel, dilations, snake_act=None, mask=None):
     """``mask`` (B, T, 1): zero the pad region after each conv so dilated
     windows near a row's valid boundary read zeros (= the exact-length
     run's conv zero padding). snake(0) == 0, so only conv biases need it."""
+    if snake_act is None:
+        from ...core.layers import snake_fast
+
+        snake_act = snake_fast if FAST_SNAKE else snake
     for c1, c2, a1, a2, d in zip(p["convs1"], p["convs2"], p["alphas1"], p["alphas2"], dilations):
         xt = snake_act(a1, x)
         pad = (kernel * d - d) // 2

@@ -5,12 +5,20 @@ that stream's first audio chunk) and per-stream RTF (wall / audio-seconds,
 whole group). VERDICT r2 #6 target: TTFA < 0.5 s and per-stream RTF < 1 at
 N >= 4. Prints one JSON line per N.
 
+``--mixed`` additionally measures a mixed-load point the way the server
+schedules it (serve/batcher.py): the stream group's ticks and batched
+/generate dispatches interleave on a shared device RLock -- one thread runs
+the N-stream lockstep loop taking the lock per tick, another runs b=4
+250-token generate batches taking the lock per batch. Reported: stream
+TTFA/RTF under contention + per-batch generate latency.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stream_concurrent.py
 """
 
 import argparse
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -21,6 +29,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=250)
     ap.add_argument("--chunk-tokens", type=int, default=25)
     ap.add_argument("--streams", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--mixed", action="store_true",
+                    help="also measure N=4 streams + interleaved b4 generate batches")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -101,6 +111,62 @@ def main():
             "ttfa_s": [round(t, 3) if t is not None else None for t in ttfa],
             "per_stream_rtf": per_rtf,
             "aggregate_audio_sec_per_s": round(sum(audio) / wall, 1),
+        }), flush=True)
+
+    if args.mixed:
+        n = 4
+        texts = texts_pool[:n]
+        gen_texts = texts_pool[4:8]
+        gen_kw = dict(max_new_tokens=args.tokens, min_new_tokens=args.tokens - 1)
+        # warm both shapes (the sweep above warmed the stream buckets)
+        tts.generate_batch(gen_texts, seed=9, **gen_kw)
+        log("mixed: warm")
+
+        lock = threading.RLock()
+        gen_lat, stop = [], threading.Event()
+
+        def gen_loop():
+            i = 0
+            while not stop.is_set():
+                t0 = time.time()
+                with lock:
+                    tts.generate_batch(gen_texts, seed=100 + i, **gen_kw)
+                gen_lat.append(time.time() - t0)
+                i += 1
+
+        t0 = time.time()
+        ttfa = [None] * n
+        audio = [0.0] * n
+        gen_thread = threading.Thread(target=gen_loop, daemon=True)
+        gen_thread.start()
+        it = stream_generate_batch(tts, texts, stream=st, **kw)
+        while True:
+            with lock:  # one tick per lock hold, like StreamBatcher
+                try:
+                    chunks = next(it)
+                except StopIteration:
+                    break
+            now = time.time()
+            for i, c in enumerate(chunks):
+                if c is not None and len(c):
+                    if ttfa[i] is None:
+                        ttfa[i] = now - t0
+                    audio[i] += len(c) / 24000.0
+        wall = time.time() - t0
+        stop.set()
+        gen_thread.join(timeout=120)
+        gen_audio = len(gen_lat) * 4 * (args.tokens / 25.0)
+        print(json.dumps({
+            "mixed": True,
+            "streams": n,
+            "wall_s": round(wall, 2),
+            "ttfa_s": [round(t, 3) if t is not None else None for t in ttfa],
+            "per_stream_rtf": [round(wall / a, 3) if a else None for a in audio],
+            "gen_batches_completed": len(gen_lat),
+            "gen_batch_latency_s": [round(t, 2) for t in gen_lat],
+            "aggregate_audio_sec_per_s": round(
+                (sum(audio) + gen_audio) / wall, 1
+            ),
         }), flush=True)
 
 

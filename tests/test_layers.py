@@ -114,6 +114,22 @@ def test_snake():
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, atol=1e-6)
 
 
+def test_snake_fast_matches_exact():
+    """The polynomial snake (vocoder default; 7.8x VPU speedup measured)
+    tracks the transcendental form to ~4.5e-6/|1/alpha| absolute, including
+    large |alpha*x| where the mod-1 range reduction must hold."""
+    rng = np.random.default_rng(9)
+    alpha = (np.abs(rng.standard_normal(16)) + 0.05).astype(np.float32)
+    x = (rng.standard_normal((2, 64, 16)) * 30.0).astype(np.float32)
+    p = {"alpha": _j(alpha)}
+    exact = np.asarray(layers.snake(p, _j(x)))
+    fast = np.asarray(layers.snake_fast(p, _j(x)))
+    tol = 5e-6 / (alpha + 1e-9) + 1e-5  # poly bound scaled by 1/alpha
+    assert np.all(np.abs(fast - exact) <= tol[None, None, :])
+    snr = 10 * np.log10(np.sum(exact**2) / np.sum((fast - exact) ** 2))
+    assert snr >= 100.0, snr
+
+
 def test_sdpa_matches_torch():
     torch.manual_seed(9)
     q = torch.randn(2, 4, 6, 16)
