@@ -124,7 +124,7 @@ def make_vc(args):
 
 
 # ------------------------------------------------------------------- configs
-def bench_tts_config(tts, batch, tokens, iters, extra_detail=None):
+def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag=""):
     """One TTS throughput point: pipelined batches at (batch, tokens)."""
     import jax
 
@@ -151,7 +151,7 @@ def bench_tts_config(tts, batch, tokens, iters, extra_detail=None):
     audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
     thr = float(np.sum(audio_secs) / total_t)
 
-    suffix = f"_b{batch}" if tokens == 250 else f"_b{batch}_t{tokens}"
+    suffix = (f"_b{batch}" if tokens == 250 else f"_b{batch}_t{tokens}") + tag
     result = {
         "metric": f"audio_sec_per_s_per_chip{suffix}",
         "value": round(thr, 3),
@@ -300,6 +300,20 @@ def run_matrix(args):
         guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters))
         guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, iters))
         guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250))
+
+        def wquant_point():
+            # int8 T3 weights (CHATTERBOX_W_QUANT surface): measured as its
+            # own metric; the bf16 headline above stays the default config
+            import jax
+
+            from chatterbox_tpu.models.t3.llama import quantize_llama_weights
+
+            t3p = dict(tts.t3_params)
+            t3p["llama"] = jax.jit(quantize_llama_weights)(t3p["llama"])
+            tts.t3_params = t3p  # new pytree structure -> fresh jit traces
+            return bench_tts_config(tts, 8, 250, iters, tag="_wquant")
+
+        guarded("tts_b8_wquant", wquant_point)
 
     try:
         vc = make_vc(args)

@@ -68,13 +68,15 @@ class DynamicBatcher:
     """
 
     def __init__(self, tts, max_batch: int = 16, window_ms: float = 25.0,
-                 device_lock: Optional[threading.RLock] = None):
+                 device_lock=None):
         self.tts = tts
         self.max_batch = max_batch
         self.window_ms = window_ms
         # serializes pipeline dispatch/compile against OTHER device users
         # (streaming handlers, cold-voice conditioning) -- see service.py
-        self.device_lock = device_lock or threading.RLock()
+        from .fairlock import FairRLock
+
+        self.device_lock = device_lock or FairRLock()
         self.queue: "queue.Queue[Job]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "rows_in_batches": 0, "max_batch_seen": 0}
         self._stop = False
@@ -233,11 +235,13 @@ class StreamBatcher:
     """
 
     def __init__(self, tts, max_streams: int = 8, window_ms: float = 50.0,
-                 device_lock: Optional[threading.RLock] = None):
+                 device_lock=None):
         self.tts = tts
         self.max_streams = max_streams
         self.window_ms = window_ms
-        self.device_lock = device_lock or threading.RLock()
+        from .fairlock import FairRLock
+
+        self.device_lock = device_lock or FairRLock()
         self.queue: "queue.Queue[StreamJob]" = queue.Queue()
         self.stats = {"stream_requests": 0, "stream_groups": 0,
                       "max_group_seen": 0, "active_streams": 0}

@@ -62,10 +62,13 @@ class TTSService:
         # one generate_batch dispatch (batch 16 is ~3.3x the per-row
         # throughput of batch 1 on TPU, docs/PERFORMANCE.md). device_lock
         # serializes every pipeline dispatch/compile across HTTP handler
-        # threads (ThreadingHTTPServer) + the batcher worker.
-        import threading
+        # threads (ThreadingHTTPServer) + the batcher workers. It must be
+        # FIFO-FAIR: with a plain RLock a saturated generate worker
+        # re-acquires back-to-back and starves stream ticks (measured:
+        # stream TTFA ~20 s under continuous batch load -- see fairlock.py).
+        from .fairlock import FairRLock
 
-        self.device_lock = threading.RLock()
+        self.device_lock = FairRLock()
         self.batcher = None
         self.stream_batcher = None
         if cfg.batch_window_ms > 0:

@@ -118,11 +118,18 @@ def main():
         texts = texts_pool[:n]
         gen_texts = texts_pool[4:8]
         gen_kw = dict(max_new_tokens=args.tokens, min_new_tokens=args.tokens - 1)
-        # warm both shapes (the sweep above warmed the stream buckets)
+        # warm BOTH paths in this process: the b4 generate graph AND the
+        # N=4 stream-tick graphs (first contact costs ~60-80 s each on the
+        # remote backend even with the persistent disk cache -- measured
+        # polluting a mixed run whose --streams list skipped 4)
         tts.generate_batch(gen_texts, seed=9, **gen_kw)
+        for _ in stream_generate_batch(tts, texts, stream=st, **kw):
+            pass
         log("mixed: warm")
 
-        lock = threading.RLock()
+        from chatterbox_tpu.serve.fairlock import FairRLock
+
+        lock = FairRLock()  # the server's lock: FIFO handoff (fairlock.py)
         gen_lat, stop = [], threading.Event()
 
         def gen_loop():
