@@ -64,7 +64,12 @@ class StreamConfig:
     # so a short opening chunk (0.4 s of audio) cuts TTFA ~40% (measured
     # r3: 0.58 -> ~0.4 s at 4 concurrent streams) at no steady-state cost
     first_chunk_tokens: int = 10
-    flow_ctx_tokens: int = 75  # left-context tokens re-fed to the flow
+    # left-context tokens re-fed to the flow. Derived from the measured
+    # full-size divergence curve (PERFORMANCE.md r4 / probe_flow_window.py):
+    # wav SNR vs exact full-context is 0.1 dB at ctx=25 (collapse), 40.5 dB
+    # at 50, 41.2 at 75, 46.7 at 150 -- 75 = the knee (50) + one chunk of
+    # margin at half the window cost of 150.
+    flow_ctx_tokens: int = 75
     hift_ctx_frames: int = 24  # mel frames of vocoder context (0.48 s)
     max_new_tokens: int = 1000
 

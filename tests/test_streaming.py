@@ -146,6 +146,8 @@ def test_flow_window_divergence_bound(tts):
     d = win - full
     sig = float(np.mean(full**2)) + 1e-12
     snr_db = 10 * np.log10(sig / (float(np.mean(d**2)) + 1e-12))
-    # tiny random-weight model: bound is loose; the hardware full-size curve
-    # lives in PERFORMANCE.md (probe_flow_window.py)
+    # tiny random-weight model: bound is loose. The full-size hardware curve
+    # (PERFORMANCE.md "Flow-window divergence curve", r4): ctx=25 collapses
+    # to 0.1 dB, ctx=50 40.5 dB, ctx=75 (default) 41.2 dB, ctx=150 46.7 dB
+    # -- the 75 default is the measured knee (50) + one chunk of margin.
     assert snr_db > 10.0, snr_db
