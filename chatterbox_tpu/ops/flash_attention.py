@@ -212,6 +212,20 @@ def flash_self_attention(
     )(q, k, v, bias3)
 
 
+def _pick_relpos_q_block(t: int) -> int:
+    """Largest 128-multiple divisor of t whose (tq, T) f32 logits stay
+    within ~6 MB of scoped VMEM. At the conformer's 250-token bucket
+    (T=768) this returns the full T (one q block -- the original shape);
+    the long-form 1000-token bucket (T=2304) would need 2*21 MB of logits
+    un-blocked and exceeded the 16 MB scoped-vmem limit at compile
+    (measured r4: b8@1000 'Ran out of memory in memory space vmem')."""
+    best = 128
+    for tq in range(128, t + 1, 128):
+        if t % tq == 0 and tq * t * 4 <= 6 * 1024 * 1024:
+            best = tq
+    return best
+
+
 def _relpos_kernel(qu_ref, qh_ref, k_ref, sh_ref, v_ref, bias_ref, o_ref,
                    *, heads_per_cell, d, c, scale):
     """Conformer rel-pos attention, flash form (see
@@ -271,7 +285,11 @@ def flash_relpos_attention(
     c = q_hat.shape[-1] // n_heads
     h_blk = int(heads_per_cell)
     assert n_heads % h_blk == 0 and (h_blk * d) % 128 == 0, (n_heads, h_blk, d)
-    grid = (b, n_heads // h_blk)
+    # q rides a third grid dim so the per-cell (Tq, T) logits stay inside
+    # scoped VMEM at long-form T (no change at T=768: tq == t there); K/V
+    # and the sinusoid table stay full-T (qi innermost reuses them)
+    tq = _pick_relpos_q_block(t)
+    grid = (b, n_heads // h_blk, t // tq)
     bias3 = jnp.tile(key_bias.astype(jnp.float32)[:, None, :], (1, 8, 1))
 
     return pl.pallas_call(
@@ -280,14 +298,16 @@ def flash_relpos_attention(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
-            pl.BlockSpec((1, t, h_blk * c), lambda bi, hi: (bi, 0, hi)),
-            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
-            pl.BlockSpec((1, t, c), lambda bi, hi: (0, 0, 0)),
-            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
-            pl.BlockSpec((1, 8, t), lambda bi, hi: (bi, 0, 0)),
+            pl.BlockSpec((1, tq, h_blk * d), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, tq, h_blk * c), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, c), lambda bi, hi, qi: (0, 0, 0)),
+            pl.BlockSpec((1, t, h_blk * d), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((1, 8, t), lambda bi, hi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, h_blk * d), lambda bi, hi: (bi, 0, hi)),
+        out_specs=pl.BlockSpec(
+            (1, tq, h_blk * d), lambda bi, hi, qi: (bi, qi, hi)
+        ),
         out_shape=jax.ShapeDtypeStruct((b, t, hd), q_u.dtype),
         interpret=interpret,
     )(q_u, q_hat, k, s_hat, v, bias3)

@@ -42,7 +42,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    def slope_time(make, arrs, k1=20, k2=60, iters=5):
+    def slope_time(make, arrs, k1=50, k2=150, iters=5):
         ts = {}
         for K in (k1, k2):
             fn = jax.jit(make(K))
@@ -60,8 +60,13 @@ def main():
             def f(a, b):
                 def body(aa, i):
                     y = jnp.matmul(aa, b)
-                    s = jnp.mean(y, axis=-1, keepdims=True)
-                    return aa * (1 + s[..., :1] * 1e-30).astype(aa.dtype), None
+                    # additive runtime-valued epsilon: a multiplicative
+                    # (1 + s*1e-30) factor ROUNDS TO EXACTLY 1.0 in bf16 and
+                    # XLA folds+hoists the matmul out of the scan (measured:
+                    # negative slopes) -- an add of a runtime value cannot
+                    # be folded even though it is numerically ~0
+                    s = jnp.mean(y, axis=-1, keepdims=True) * 1e-30
+                    return aa + s[..., :1].astype(aa.dtype), None
                 aa, _ = lax.scan(body, a, jnp.arange(K))
                 return jnp.sum(aa.astype(jnp.float32))
             return f
@@ -73,10 +78,12 @@ def main():
     rng = np.random.default_rng(0)
     T = 768
 
+    # batch 16 leading dim: a lone (768,K)@(K,768) is ~5-10 us -- below the
+    # tunnel's slope noise even at 100 reps (measured: negative slopes)
     for k in (64, 128, 256, 512, 1024):
-        a = jnp.asarray(rng.standard_normal((T, k)), jnp.bfloat16)
+        a = jnp.asarray(rng.standard_normal((16, T, k)), jnp.bfloat16)
         b = jnp.asarray(rng.standard_normal((k, T)), jnp.bfloat16)
-        ms, tf = gemm_case(a, b, 2 * T * k * T)
+        ms, tf = gemm_case(a, b, 2 * 16 * T * k * T)
         out[f"k{k}"] = {"ms": ms, "tflops": tf}
 
     bh, d = 16 * 8, 64  # 16 CFG rows x 8 heads

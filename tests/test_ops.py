@@ -261,3 +261,46 @@ def test_flash_decode_int8_cache_matches_bf16():
     # half a quant step at gaussian absmax ~4.7: 4.7/127/2 ~= 0.019, plus
     # bf16 representation noise on the reference values
     np.testing.assert_allclose(deq, np.asarray(cache, np.float32), atol=0.03)
+
+
+def test_flash_relpos_q_blocking_long_t():
+    """flash_relpos_attention with T large enough that the q axis splits
+    into multiple grid blocks (the long-form conformer bucket: an
+    un-blocked (T, T) logits buffer exceeded the 16 MB scoped-vmem limit
+    at T=2304, measured r4). Dense reference computed head by head."""
+    from chatterbox_tpu.ops.flash_attention import (
+        _pick_relpos_q_block,
+        flash_relpos_attention,
+    )
+
+    t = 1280
+    tq = _pick_relpos_q_block(t)
+    assert tq < t and t % tq == 0, (tq, t)  # blocking actually engages
+    assert _pick_relpos_q_block(768) == 768  # short bucket: one block
+
+    rng = np.random.default_rng(3)
+    b, h, d, c = 1, 2, 64, 128
+    qu = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32) * 0.3
+    qh = jnp.asarray(rng.standard_normal((b, t, h * c)), jnp.float32) * 0.1
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)), jnp.float32) * 0.3
+    sh = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32) * 0.1
+    bias = jnp.where(jnp.arange(t)[None] < t - 200, 0.0, -1e30).astype(jnp.float32)
+    bias = jnp.tile(bias, (b, 1))
+    scale = 1.0 / np.sqrt(d)
+
+    got = flash_relpos_attention(
+        qu, qh, k, sh, v, bias, n_heads=h, scale=scale, interpret=True
+    )
+
+    outs = []
+    for hh in range(h):
+        quh = qu[0, :, hh * d : (hh + 1) * d]
+        qhh = qh[0, :, hh * c : (hh + 1) * c]
+        kh = k[0, :, hh * d : (hh + 1) * d]
+        vh = v[0, :, hh * d : (hh + 1) * d]
+        logits = (quh @ kh.T + qhh @ sh[0].T) * scale + bias[0][None]
+        p = jax.nn.softmax(logits, axis=-1)
+        outs.append(p @ vh)
+    ref = jnp.concatenate(outs, axis=-1)[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-3)
