@@ -288,6 +288,14 @@ def run_matrix(args):
         except Exception as e:  # keep the rest of the matrix alive
             log(f"FAIL {name}: {type(e).__name__}: {e}")
 
+    def reset_jits():
+        # drop cached executables between phases: their device programs +
+        # constants stay resident otherwise, and the accumulated footprint
+        # measurably degraded the in-matrix b8@1000 run (23.5 s/iter vs 8.3
+        # standalone; warm re-load is only ~30 s)
+        tts._jit_t3.clear()
+        tts._jit_s3gen.clear()
+
     iters = args.iters
     if args.tiny:  # CPU smoke of the matrix plumbing
         guarded("tts_b2", lambda: bench_tts_config(tts, 2, 16, iters))
@@ -297,8 +305,10 @@ def run_matrix(args):
         guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters))
         guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters))
         guarded("tts_b32", lambda: bench_tts_config(tts, 32, 250, iters))
+        reset_jits()
         guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters))
         guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, iters))
+        reset_jits()
         guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250))
 
         def wquant_point():
@@ -316,6 +326,10 @@ def run_matrix(args):
         guarded("tts_b8_wquant", wquant_point)
 
     try:
+        # free the TTS weights + executables before the VC model loads
+        # (~1.5 GB of device params; VC never touches tts)
+        reset_jits()
+        tts.t3_params = tts.s3gen_params = tts.ve_params = None
         vc = make_vc(args)
         log("vc model ready")
         if args.tiny:
