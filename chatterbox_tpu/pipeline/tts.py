@@ -128,6 +128,19 @@ class ChatterboxTTS:
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
 
     def __post_init__(self):
+        # CFM Euler step count (reference hardcodes 10, flow_matching.py:215).
+        # The flow stage scales linearly in it (one fused UNet CFG pass per
+        # step), so fewer steps trade mel fidelity for flow-stage time --
+        # measured curve in docs/PERFORMANCE.md (scripts/probe_flow_steps.py).
+        # Quality knob, OFF by default: only an explicit env opt-in changes it.
+        n_steps = os.environ.get("CHATTERBOX_FLOW_STEPS")
+        if n_steps and int(n_steps) != self.s3gen_cfg.flow.n_timesteps:
+            from dataclasses import replace
+
+            self.s3gen_cfg = replace(
+                self.s3gen_cfg,
+                flow=replace(self.s3gen_cfg.flow, n_timesteps=int(n_steps)),
+            )
         self.watermarker = PerthImplicitWatermarker()
         # fixed CFM noise buffer, mirroring flow_matching.py:191 rand_noise
         # (host-generated: zero device ops at construction)

@@ -259,3 +259,16 @@ def test_budget_batch_cap_text_bucket_and_kv_policy():
     assert t._budget_batch_cap(1000, pipelined=True, text_bucket=64) >= cap64
     # short budgets are unaffected by the auto policy (bf16 itemsize)
     assert t._budget_batch_cap(250, pipelined=True, text_bucket=64) >= cap64
+
+
+def test_flow_steps_env_knob(monkeypatch):
+    """CHATTERBOX_FLOW_STEPS overrides the CFM Euler step count (quality/
+    speed knob, scripts/probe_flow_steps.py); unset keeps the reference 10."""
+    t = ChatterboxTTS(t3_params={}, s3gen_params={}, ve_params={}, tokenizer=None)
+    assert t.s3gen_cfg.flow.n_timesteps == 10  # reference default
+    monkeypatch.setenv("CHATTERBOX_FLOW_STEPS", "6")
+    t6 = ChatterboxTTS(t3_params={}, s3gen_params={}, ve_params={}, tokenizer=None)
+    assert t6.s3gen_cfg.flow.n_timesteps == 6
+    # the rest of the config (and nested estimator/encoder) is untouched
+    assert t6.s3gen_cfg.flow.estimator == t.s3gen_cfg.flow.estimator
+    assert t6.s3gen_cfg.tokenizer == t.s3gen_cfg.tokenizer
