@@ -300,6 +300,18 @@ def run_matrix(args):
     if args.tiny:  # CPU smoke of the matrix plumbing
         guarded("tts_b2", lambda: bench_tts_config(tts, 2, 16, iters))
         guarded("stream_n2", lambda: bench_stream_config(tts, 2, 16))
+
+        def tiny_turbo():
+            # same cfg-mutation plumbing the full matrix's turbo point uses
+            from dataclasses import replace
+
+            reset_jits()
+            tts.s3gen_cfg = replace(
+                tts.s3gen_cfg, flow=replace(tts.s3gen_cfg.flow, n_timesteps=4)
+            )
+            return bench_tts_config(tts, 2, 16, iters, tag="_flow4")
+
+        guarded("tts_b2_turbo", tiny_turbo)
     else:
         guarded("tts_b8", lambda: bench_tts_config(tts, 8, 250, iters))
         guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters))
@@ -324,6 +336,21 @@ def run_matrix(args):
             return bench_tts_config(tts, 8, 250, iters, tag="_wquant")
 
         guarded("tts_b8_wquant", wquant_point)
+
+        def turbo_point():
+            # compound opt-in config: int8 weights (set above) + 4-step CFM
+            # (CHATTERBOX_FLOW_STEPS surface; measured curve in
+            # PERFORMANCE.md -- mel SNR 41.5 dB vs the 10-step solve).
+            # s3gen cfg is baked into the cached executables, so drop them
+            from dataclasses import replace
+
+            reset_jits()
+            tts.s3gen_cfg = replace(
+                tts.s3gen_cfg, flow=replace(tts.s3gen_cfg.flow, n_timesteps=4)
+            )
+            return bench_tts_config(tts, 8, 250, iters, tag="_wquant_flow4")
+
+        guarded("tts_b8_turbo", turbo_point)
 
     try:
         # free the TTS weights + executables before the VC model loads
