@@ -34,6 +34,21 @@ class S3GenConfig:
     trim_n: int = S3GEN_SR // 50  # 20 ms fade (s3gen.py:233)
 
 
+def flow_steps_from_env(cfg: S3GenConfig) -> S3GenConfig:
+    """Apply the CHATTERBOX_FLOW_STEPS env override (CFM Euler step count;
+    the reference hardcodes 10, flow_matching.py:215). Quality/speed knob:
+    measured curve in docs/PERFORMANCE.md (scripts/probe_flow_steps.py).
+    No-op unless the env var is set -- both TTS and VC pipelines call this
+    at construction so the knob covers every flow consumer."""
+    import os
+    from dataclasses import replace
+
+    n = os.environ.get("CHATTERBOX_FLOW_STEPS")
+    if n and int(n) != cfg.flow.n_timesteps:
+        return replace(cfg, flow=replace(cfg.flow, n_timesteps=int(n)))
+    return cfg
+
+
 class RefDict(NamedTuple):
     """Precomputed reference-voice conditioning (s3gen.py:151-157)."""
 

@@ -24,7 +24,15 @@ from ..constants import S3GEN_SR, S3_SR, SPEECH_VOCAB_SIZE
 from ..core.sampling import SamplingConfig
 from ..core.resample import resample
 from ..checkpoint.safetensors_io import load_safetensors
-from ..models.s3gen.s3gen import S3GenConfig, RefDict, convert_s3gen, embed_ref, init_s3gen, s3gen_wav
+from ..models.s3gen.s3gen import (
+    S3GenConfig,
+    RefDict,
+    convert_s3gen,
+    embed_ref,
+    flow_steps_from_env,
+    init_s3gen,
+    s3gen_wav,
+)
 from ..models.s3tokenizer import pad_to_token_multiple
 from ..models.t3.t3 import T3Config, convert_t3, init_t3, t3_generate
 from ..models.tokenizer import EnTokenizer
@@ -128,19 +136,9 @@ class ChatterboxTTS:
     DEC_COND_LEN = 10 * S3GEN_SR  # tts.py:108
 
     def __post_init__(self):
-        # CFM Euler step count (reference hardcodes 10, flow_matching.py:215).
-        # The flow stage scales linearly in it (one fused UNet CFG pass per
-        # step), so fewer steps trade mel fidelity for flow-stage time --
-        # measured curve in docs/PERFORMANCE.md (scripts/probe_flow_steps.py).
-        # Quality knob, OFF by default: only an explicit env opt-in changes it.
-        n_steps = os.environ.get("CHATTERBOX_FLOW_STEPS")
-        if n_steps and int(n_steps) != self.s3gen_cfg.flow.n_timesteps:
-            from dataclasses import replace
-
-            self.s3gen_cfg = replace(
-                self.s3gen_cfg,
-                flow=replace(self.s3gen_cfg.flow, n_timesteps=int(n_steps)),
-            )
+        # CFM Euler step-count knob (CHATTERBOX_FLOW_STEPS; measured curve
+        # in docs/PERFORMANCE.md). No-op unless the env opt-in is set.
+        self.s3gen_cfg = flow_steps_from_env(self.s3gen_cfg)
         self.watermarker = PerthImplicitWatermarker()
         # fixed CFM noise buffer, mirroring flow_matching.py:191 rand_noise
         # (host-generated: zero device ops at construction)

@@ -16,7 +16,15 @@ import jax.numpy as jnp
 
 from ..constants import S3GEN_SR, S3_SR
 from ..checkpoint.safetensors_io import load_safetensors
-from ..models.s3gen.s3gen import RefDict, S3GenConfig, convert_s3gen, embed_ref, init_s3gen, s3gen_wav
+from ..models.s3gen.s3gen import (
+    RefDict,
+    S3GenConfig,
+    convert_s3gen,
+    embed_ref,
+    flow_steps_from_env,
+    init_s3gen,
+    s3gen_wav,
+)
 from ..models.s3tokenizer import pad_to_token_multiple, s3_tokenize
 from ..models.watermark import PerthImplicitWatermarker
 from .audio import load_wav
@@ -38,6 +46,9 @@ class ChatterboxVC:
     DEC_COND_LEN = 10 * S3GEN_SR
 
     def __post_init__(self):
+        # CFM Euler step-count knob (CHATTERBOX_FLOW_STEPS; measured curve
+        # in docs/PERFORMANCE.md). No-op unless the env opt-in is set.
+        self.s3gen_cfg = flow_steps_from_env(self.s3gen_cfg)
         self.watermarker = PerthImplicitWatermarker()
         self._cfm_noise = jnp.asarray(
             np.random.default_rng(0).standard_normal((1, 15000, 80)).astype(np.float32)

@@ -272,3 +272,10 @@ def test_flow_steps_env_knob(monkeypatch):
     # the rest of the config (and nested estimator/encoder) is untouched
     assert t6.s3gen_cfg.flow.estimator == t.s3gen_cfg.flow.estimator
     assert t6.s3gen_cfg.tokenizer == t.s3gen_cfg.tokenizer
+
+
+def test_flow_steps_env_knob_vc(monkeypatch):
+    """The step-count knob covers VC too (same s3gen flow consumer)."""
+    monkeypatch.setenv("CHATTERBOX_FLOW_STEPS", "6")
+    vc = ChatterboxVC(s3gen_params={})
+    assert vc.s3gen_cfg.flow.n_timesteps == 6
