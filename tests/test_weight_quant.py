@@ -1,7 +1,8 @@
 """int8 weight-only quantization of the T3 decode matmul chain
 (llama.quantize_llama_weights): numerics gates for the CHATTERBOX_W_QUANT
 runtime option. The perf claim (halving the decode step's dominant HBM
-weight stream) is measured on hardware -- scripts/probe_w_quant.py."""
+weight stream; 3.31 -> 2.63 ms/step) is measured on hardware --
+scripts/bench_decode.py --wquant, recorded in docs/PERFORMANCE.md."""
 
 import numpy as np
 
