@@ -173,7 +173,7 @@ def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag=""):
     return result
 
 
-def bench_vc_config(vc, batch, tokens, iters):
+def bench_vc_config(vc, batch, tokens, iters, tag=""):
     """Batched end-to-end voice conversion (BASELINE config 5): source wavs
     -> S3 tokens -> S3Gen resynthesis with target conditioning -> watermark."""
     import jax
@@ -195,7 +195,7 @@ def bench_vc_config(vc, batch, tokens, iters):
     audio_s = sum(len(w) for w in all_outs[-1]) / 24000.0
     thr = audio_s * iters / total
     result = {
-        "metric": f"vc_audio_sec_per_s_per_chip_b{batch}",
+        "metric": f"vc_audio_sec_per_s_per_chip_b{batch}{tag}",
         "value": round(thr, 3),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(thr / 1.3, 3),
@@ -359,11 +359,24 @@ def run_matrix(args):
         tts.t3_params = tts.s3gen_params = tts.ve_params = None
         vc = make_vc(args)
         log("vc model ready")
+        def vc_flow4(batch, tokens):
+            # 4-step CFM (CHATTERBOX_FLOW_STEPS surface): VC is
+            # flow-dominated, measured +79% @b8 (docs/PERFORMANCE.md)
+            from dataclasses import replace
+
+            vc._jit.clear()  # s3gen cfg is baked into cached executables
+            vc.s3gen_cfg = replace(
+                vc.s3gen_cfg, flow=replace(vc.s3gen_cfg.flow, n_timesteps=4)
+            )
+            return bench_vc_config(vc, batch, tokens, iters, tag="_flow4")
+
         if args.tiny:
             guarded("vc_b2", lambda: bench_vc_config(vc, 2, 16, iters))
+            guarded("vc_b2_flow4", lambda: vc_flow4(2, 16))
         else:
             guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters))
             guarded("vc_b32", lambda: bench_vc_config(vc, 32, 250, iters))
+            guarded("vc_b8_flow4", lambda: vc_flow4(8, 250))
     except Exception as e:
         log(f"FAIL vc setup: {type(e).__name__}: {e}")
 
