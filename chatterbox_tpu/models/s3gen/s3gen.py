@@ -44,8 +44,21 @@ def flow_steps_from_env(cfg: S3GenConfig) -> S3GenConfig:
     from dataclasses import replace
 
     n = os.environ.get("CHATTERBOX_FLOW_STEPS")
-    if n and int(n) != cfg.flow.n_timesteps:
-        return replace(cfg, flow=replace(cfg.flow, n_timesteps=int(n)))
+    if not n:
+        return cfg
+    try:
+        steps = int(n)
+    except ValueError:
+        raise ValueError(
+            f"CHATTERBOX_FLOW_STEPS must be an integer >= 1, got {n!r}"
+        ) from None
+    if steps < 1:
+        raise ValueError(
+            f"CHATTERBOX_FLOW_STEPS must be >= 1 (a zero/negative Euler step "
+            f"count degenerates the CFM solve), got {steps}"
+        )
+    if steps != cfg.flow.n_timesteps:
+        return replace(cfg, flow=replace(cfg.flow, n_timesteps=steps))
     return cfg
 
 

@@ -72,6 +72,50 @@ class StreamConfig:
     flow_ctx_tokens: int = 75
     hift_ctx_frames: int = 24  # mel frames of vocoder context (0.48 s)
     max_new_tokens: int = 1000
+    # CFM Euler step count for the per-tick flow window (None = pipeline
+    # default). The serving "turbo" tier sets 4: the flow is the tick's
+    # dominant cost, so fewer steps directly raise stream capacity
+    # (docs/PERFORMANCE.md step-count curve: mel SNR 41.5 dB at 4 steps).
+    flow_steps: Optional[int] = None
+
+
+def t3_chunked_start_fn(tts, b, tmax, max_new_tokens, sampling, kvq):
+    """Cached jit: prefill -> resumable GenCarry (streaming AND the
+    batcher's preemptible bulk path share these executables)."""
+    key_s = ("stream_start", b, tmax, max_new_tokens, sampling, kvq)
+    start_fn = tts._jit_t3.get(key_s)
+    if start_fn is None:
+        cfg = tts.t3_cfg
+
+        @jax.jit
+        def start_fn(p, text, lens, spk, prompt, emo, rng):
+            bb = text.shape[0]
+            spk, prompt, emo = (
+                jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
+                for x in (spk, prompt, emo)
+            )
+            return t3_generate_start(
+                p, cfg, text, lens, spk, prompt, emo, rng, sampling,
+                max_new_tokens, cache_quant=kvq,
+            )
+
+        tts._jit_t3[key_s] = start_fn
+    return start_fn
+
+
+def t3_chunked_step_fn(tts, b, tmax, max_new_tokens, sampling, n, kvq):
+    """Cached jit: advance a GenCarry by up to ``n`` tokens."""
+    key_r = ("stream_step", b, tmax, max_new_tokens, sampling, n, kvq)
+    fn = tts._jit_t3.get(key_r)
+    if fn is None:
+        cfg = tts.t3_cfg
+
+        @jax.jit
+        def fn(p, carry, lens):
+            return t3_generate_resume(p, cfg, carry, lens, sampling, n)
+
+        tts._jit_t3[key_r] = fn
+    return fn
 
 
 def stream_generate(
@@ -148,37 +192,10 @@ def stream_generate_batch(
 
     t3c = conds.t3
     kvq = tts._kv_quant_for(stream.max_new_tokens)
-    key_s = ("stream_start", b, tmax, stream.max_new_tokens, sampling, kvq)
-    start_fn = tts._jit_t3.get(key_s)
-    if start_fn is None:
-        cfg = tts.t3_cfg
-        mx = stream.max_new_tokens
+    start_fn = t3_chunked_start_fn(tts, b, tmax, stream.max_new_tokens, sampling, kvq)
 
-        @jax.jit
-        def start_fn(p, text, lens, spk, prompt, emo, rng):
-            bb = text.shape[0]
-            spk, prompt, emo = (
-                jnp.broadcast_to(x, (bb,) + x.shape[1:]) if x.shape[0] == 1 else x
-                for x in (spk, prompt, emo)
-            )
-            return t3_generate_start(
-                p, cfg, text, lens, spk, prompt, emo, rng, sampling, mx,
-                cache_quant=kvq,
-            )
-
-        tts._jit_t3[key_s] = start_fn
     def make_step(n):
-        key_r = ("stream_step", b, tmax, stream.max_new_tokens, sampling, n, kvq)
-        fn = tts._jit_t3.get(key_r)
-        if fn is None:
-            cfg = tts.t3_cfg
-
-            @jax.jit
-            def fn(p, carry, lens):
-                return t3_generate_resume(p, cfg, carry, lens, sampling, n)
-
-            tts._jit_t3[key_r] = fn
-        return fn
+        return t3_chunked_step_fn(tts, b, tmax, stream.max_new_tokens, sampling, n, kvq)
 
     step_fn = make_step(stream.chunk_tokens)
     first_fn = (
@@ -259,11 +276,17 @@ class _ChunkSynthesizer:
         upload, a flow-mel round-trip, a ~1 MB additive-noise upload and
         4-5 tunnel round-trips (~28 ms each) -- the reason 4 concurrent
         lockstep streams measured per-stream RTF ~1.0 instead of ~0.4."""
+        n_steps = self.tts._effective_flow_steps(self.stream.flow_steps)
         key = ("stream_synth", self.b, win_tok, n_frames,
-               int(self.conds.gen.prompt_token.shape[1]), self.tts.hift_bf16)
+               int(self.conds.gen.prompt_token.shape[1]), self.tts.hift_bf16,
+               n_steps)
         fn = self.tts._jit_s3gen.get(key)
         if fn is None:
+            from dataclasses import replace
+
             cfg = self.tts.s3gen_cfg
+            if n_steps != cfg.flow.n_timesteps:
+                cfg = replace(cfg, flow=replace(cfg.flow, n_timesteps=n_steps))
             hift_dtype = jnp.bfloat16 if self.tts.hift_bf16 else None
             h = cfg.hift.nb_harmonics + 1
 

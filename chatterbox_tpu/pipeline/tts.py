@@ -409,6 +409,8 @@ class ChatterboxTTS:
         min_new_tokens: int = 0,
         num_return_sequences: int = 1,
         greedy: bool = False,
+        flow_steps: Optional[int] = None,
+        alignment: bool = False,
     ) -> np.ndarray:
         """Single-utterance API-parity generate (tts.py:208-272) -> (k, T)
         with k = ``num_return_sequences`` (k=1 default -> (1, T)).
@@ -430,6 +432,8 @@ class ChatterboxTTS:
             max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens,
             greedy=greedy,
+            flow_steps=flow_steps,
+            alignment=alignment,
         )
         t = max(len(w) for w in wavs)
         out = np.zeros((len(wavs), t), np.float32)
@@ -453,13 +457,26 @@ class ChatterboxTTS:
         greedy: bool = False,
         device_chain: bool = False,
         defer_collect: bool = False,
+        flow_steps: Optional[int] = None,
+        alignment: bool = False,
     ) -> List[np.ndarray]:
         """Batched generation: one T3 decode + one S3Gen over the batch.
 
         ``device_chain=True`` keeps the whole chain on device (invalid-token
         compaction included) with no host sync between T3 and S3Gen -- best
         throughput when generations run near max_new_tokens (the flow then
-        always runs at the max_new bucket)."""
+        always runs at the max_new bucket).
+
+        ``flow_steps`` overrides the CFM Euler step count for THIS call (the
+        serving quality tier: 4 = "turbo", None = the pipeline default).
+        Executables are jit-cache-keyed per step count, so tiers coexist warm.
+
+        ``alignment=True`` runs the hallucination watchdog inside the decode
+        loop (models/t3/alignment.py: false-start/long-tail/repetition
+        detection with forced EOS, the reference's AlignmentStreamAnalyzer
+        capability, alignment_stream_analyzer.py:29-154). It selects the XLA
+        decode step (the Pallas kernel does not collect attention maps) --
+        measured cost in docs/PERFORMANCE.md."""
         conds = conds or self.conds
         assert conds is not None, "prepare_conditionals first or pass conds"
         # check EVERY row: stacked mixed-voice conds (Conditionals.stack) may
@@ -493,6 +510,8 @@ class ChatterboxTTS:
                 max_new_tokens=max_new_tokens,
                 min_new_tokens=min_new_tokens,
                 greedy=greedy,
+                flow_steps=flow_steps,
+                alignment=alignment,
             )
             return [w for chunk in rows for w in chunk]
         text_tokens = np.zeros((b, tmax), np.int32)
@@ -509,7 +528,7 @@ class ChatterboxTTS:
             greedy=greedy,
         )
 
-        t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling)
+        t3 = self._get_t3_fn(b, tmax, max_new_tokens, sampling, alignment=alignment)
         t3c = conds.t3
         tok_in, lens_in = jnp.asarray(text_tokens), jnp.asarray(lens)
         spk, ptk, emo = t3c.speaker_emb, t3c.prompt_tokens, t3c.emotion_adv
@@ -540,7 +559,9 @@ class ChatterboxTTS:
                 cfn = jax.jit(_compact_tokens)
                 self._jit_s3gen[key] = cfn
             speech_j, clean_lens_j = cfn(res.tokens, res.lengths)
-            wav, wav_lens = self._run_s3gen(speech_j, clean_lens_j, conds.gen, b, seed)
+            wav, wav_lens = self._run_s3gen(
+                speech_j, clean_lens_j, conds.gen, b, seed, flow_steps=flow_steps
+            )
             if defer_collect:
                 return (wav, wav_lens)
         else:
@@ -560,7 +581,8 @@ class ChatterboxTTS:
                 speech[i, : len(r)] = r
 
             wav, wav_lens = self._run_s3gen(
-                jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)), conds.gen, b, seed
+                jnp.asarray(speech), jnp.asarray(np.array(clean_lens, np.int32)),
+                conds.gen, b, seed, flow_steps=flow_steps,
             )
         return self.collect((wav, wav_lens))
 
@@ -667,6 +689,145 @@ class ChatterboxTTS:
             out[oi].extend(self.collect(h))
         return out
 
+    def generate_batch_preemptible(
+        self,
+        texts: List[str],
+        conds: Optional[Conditionals] = None,
+        lock=None,
+        t3_chunk_tokens: int = 50,
+        s3gen_max_rows: Optional[int] = None,
+        repetition_penalty: float = 1.2,
+        min_p: float = 0.05,
+        top_p: float = 1.0,
+        exaggeration: float = 0.5,
+        cfg_weight: float = 0.5,
+        temperature: float = 0.8,
+        seed: int = 0,
+        max_new_tokens: int = 1000,
+        min_new_tokens: int = 0,
+        flow_steps: Optional[int] = None,
+        alignment: bool = False,
+    ) -> List[np.ndarray]:
+        """generate_batch with BOUNDED device dispatches: the T3 decode runs
+        as resumable ``t3_chunk_tokens``-step chunks (the streaming carry,
+        token-identical to one-shot decoding) and the synthesis stage splits
+        to <= ``s3gen_max_rows`` rows per dispatch, releasing ``lock``
+        between dispatches.
+
+        This is the serving layer's mixed-load admission control
+        (serve/batcher.py): under the FIFO device lock a whole-batch
+        dispatch makes concurrent realtime streams wait ~1.6 s per tick
+        (measured per-stream RTF ~2.4, docs/PERFORMANCE.md); chunked bulk
+        work bounds a stream tick's wait to one sub-second dispatch. The
+        TPU-native answer to the reference's one-request-at-a-time server
+        (src/server/server.py:188-299). Costs the bulk batch the per-chunk
+        dispatch overhead -- measured delta in docs/PERFORMANCE.md."""
+        import contextlib
+
+        lock = lock if lock is not None else contextlib.nullcontext()
+        if alignment:
+            # the watchdog needs the in-loop attention path; run whole-batch
+            # under the lock (alignment requests are a debug/QA surface)
+            with lock:
+                return self.generate_batch(
+                    texts, conds=conds, repetition_penalty=repetition_penalty,
+                    min_p=min_p, top_p=top_p, exaggeration=exaggeration,
+                    cfg_weight=cfg_weight, temperature=temperature, seed=seed,
+                    max_new_tokens=max_new_tokens,
+                    min_new_tokens=min_new_tokens, flow_steps=flow_steps,
+                    alignment=True,
+                )
+        conds = conds or self.conds
+        assert conds is not None, "prepare_conditionals first or pass conds"
+        if bool(np.any(np.asarray(conds.t3.emotion_adv) != exaggeration)):
+            conds = conds.with_exaggeration(exaggeration)
+
+        b = len(texts)
+        tok_rows = [self._cap_text_row(self._encode_text(t)) for t in texts]
+        lens = np.array([len(r) for r in tok_rows], np.int32)
+        tmax = _bucket(int(lens.max()), TEXT_BUCKETS)
+        cap = self._budget_batch_cap(max_new_tokens, pipelined=False, text_bucket=tmax)
+        if b > cap:
+            step = -(-b // -(-b // cap))
+            out = []
+            for j, i0 in enumerate(range(0, b, step)):
+                sub = texts[i0 : i0 + step]
+                out.extend(
+                    self.generate_batch_preemptible(
+                        sub, conds=conds.rows(i0, i0 + len(sub)), lock=lock,
+                        t3_chunk_tokens=t3_chunk_tokens,
+                        s3gen_max_rows=s3gen_max_rows,
+                        repetition_penalty=repetition_penalty, min_p=min_p,
+                        top_p=top_p, exaggeration=exaggeration,
+                        cfg_weight=cfg_weight, temperature=temperature,
+                        seed=seed + j, max_new_tokens=max_new_tokens,
+                        min_new_tokens=min_new_tokens, flow_steps=flow_steps,
+                    )
+                )
+            return out
+        text_tokens = np.zeros((b, tmax), np.int32)
+        for i, r in enumerate(tok_rows):
+            text_tokens[i, : len(r)] = r
+
+        sampling = SamplingConfig(
+            temperature=temperature, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty, cfg_weight=cfg_weight,
+            min_new_tokens=min_new_tokens,
+        )
+        kvq = self._kv_quant_for(max_new_tokens)
+        from .streaming import t3_chunked_start_fn, t3_chunked_step_fn
+
+        start_fn = t3_chunked_start_fn(self, b, tmax, max_new_tokens, sampling, kvq)
+        step_fn = t3_chunked_step_fn(
+            self, b, tmax, max_new_tokens, sampling, t3_chunk_tokens, kvq
+        )
+
+        t3c = conds.t3
+        lens_j = jnp.asarray(lens)
+        with lock:
+            carry = start_fn(
+                self.t3_params, jnp.asarray(text_tokens), lens_j,
+                t3c.speaker_emb, t3c.prompt_tokens, t3c.emotion_adv,
+                jax.random.PRNGKey(seed),
+            )
+        while True:
+            with lock:
+                carry, res = step_fn(self.t3_params, carry, lens_j)
+                steps = int(res.steps)  # sync: the chunk finished on device
+                finished = bool(np.asarray(carry.done).all())
+            if finished or steps >= max_new_tokens:
+                break
+        tokens = np.asarray(res.tokens)
+        tok_lens = np.asarray(res.lengths)
+
+        # host: drop invalid tokens per row (tts.py:256-262)
+        clean_rows = []
+        for i in range(b):
+            row = tokens[i, : tok_lens[i]]
+            clean_rows.append(row[row < SPEECH_VOCAB_SIZE])
+        clean_lens = np.array([len(r) for r in clean_rows], np.int32)
+        tbucket = _bucket(max(int(clean_lens.max()), 2), TOKEN_BUCKETS)
+        speech = np.zeros((b, tbucket), np.int32)
+        for i, r in enumerate(clean_rows):
+            speech[i, : len(r)] = r
+
+        rows_cap = s3gen_max_rows or b
+        handles = []
+        for i0 in range(0, b, rows_cap):
+            i1 = min(b, i0 + rows_cap)
+            ref = conds.rows(i0, i1).gen
+            with lock:
+                handles.append(
+                    self._run_s3gen(
+                        jnp.asarray(speech[i0:i1]), jnp.asarray(clean_lens[i0:i1]),
+                        ref, i1 - i0, seed, flow_steps=flow_steps,
+                    )
+                )
+        out = []
+        for h in handles:  # readbacks don't occupy the device: no lock
+            out.extend(self.collect(h))
+        return out
+
     def _apply_watermark_device(self, wav):
         """Watermark a (B, T) device array via a cached jit -- keeps the data
         on device (fusing into the synthesis graph blows up remote compile).
@@ -718,16 +879,19 @@ class ChatterboxTTS:
 
         return T3CondData(tile(t3c.speaker_emb), tile(t3c.prompt_tokens), tile(t3c.emotion_adv))
 
-    def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig):
+    def _get_t3_fn(self, b, tmax, max_new, sampling: SamplingConfig,
+                   alignment: bool = False):
         kvq = self._kv_quant_for(max_new)
-        key = (b, tmax, max_new, sampling, self.mesh is None, kvq)
+        key = (b, tmax, max_new, sampling, self.mesh is None, kvq, alignment)
         fn = self._jit_t3.get(key)
         if fn is None:
             cfg = self.t3_cfg
             # the flash-decode kernel has no shard_map wrapper yet: under a
             # real GSPMD mesh, fall back to the XLA scan step (which GSPMD
-            # partitions natively); single-chip keeps the kernel
-            use_pallas = self.mesh is None
+            # partitions natively); single-chip keeps the kernel. The
+            # alignment watchdog needs per-step attention maps, which only
+            # the XLA step collects (llama_decode_step collect_attn_layer)
+            use_pallas = self.mesh is None and not alignment
             cache_quant = kvq and use_pallas
 
             @jax.jit
@@ -737,6 +901,7 @@ class ChatterboxTTS:
                 return t3_generate(
                     p, cfg, text, lens, t3c.speaker_emb, t3c.prompt_tokens,
                     t3c.emotion_adv, rng, sampling, max_new,
+                    alignment=alignment,
                     use_pallas=use_pallas, cache_quant=cache_quant,
                 )
 
@@ -744,13 +909,28 @@ class ChatterboxTTS:
             self._jit_t3[key] = fn
         return fn
 
-    def _run_s3gen(self, speech, speech_lens, ref: RefDict, b: int, seed: int):
+    def _effective_flow_steps(self, flow_steps: Optional[int]) -> int:
+        """Per-call CFM step-count override (serving quality tier), falling
+        back to the pipeline default. Validated like flow_steps_from_env."""
+        if flow_steps is None:
+            return self.s3gen_cfg.flow.n_timesteps
+        if flow_steps < 1:
+            raise ValueError(f"flow_steps must be >= 1, got {flow_steps}")
+        return int(flow_steps)
+
+    def _run_s3gen(self, speech, speech_lens, ref: RefDict, b: int, seed: int,
+                   flow_steps: Optional[int] = None):
         p_len = ref.prompt_token.shape[1]
         tbucket = speech.shape[1]
-        key = (b, p_len, tbucket, self.mesh is None, self.hift_bf16)
+        n_steps = self._effective_flow_steps(flow_steps)
+        key = (b, p_len, tbucket, self.mesh is None, self.hift_bf16, n_steps)
         fn = self._jit_s3gen.get(key)
         if fn is None:
+            from dataclasses import replace
+
             cfg = self.s3gen_cfg
+            if n_steps != cfg.flow.n_timesteps:
+                cfg = replace(cfg, flow=replace(cfg.flow, n_timesteps=n_steps))
             hift_dtype = jnp.bfloat16 if self.hift_bf16 else None
             # flash attention lacks a shard_map wrapper; meshed runs take the
             # XLA attention path (GSPMD-partitionable). The module flag is

@@ -98,9 +98,12 @@ class ChatterboxVC:
         self.ref_dict = fn(self.s3gen_params, jnp.asarray(ref)[None])
         return self.ref_dict
 
-    def generate(self, audio, target_voice_path=None, seed: int = 0) -> np.ndarray:
+    def generate(self, audio, target_voice_path=None, seed: int = 0,
+                 flow_steps: Optional[int] = None) -> np.ndarray:
         """Single-source API parity (vc.py:83-104) -> (1, T) waveform."""
-        return self.generate_batch([audio], target_voice_path, seed=seed)[0][None]
+        return self.generate_batch(
+            [audio], target_voice_path, seed=seed, flow_steps=flow_steps
+        )[0][None]
 
     def _pack_sources(self, audios: List):
         """Host-side packing: sources -> (int16 batch, n_toks, wav_bucket).
@@ -140,12 +143,23 @@ class ChatterboxVC:
             batch_in, lens_in = jax.device_put(batch_in, dsh), jax.device_put(lens_in, dsh)
         return batch_in, lens_in, wav_bucket
 
+    def _effective_flow_steps(self, flow_steps: Optional[int]) -> int:
+        """Per-call CFM step-count override (quality tier; see pipeline/tts)."""
+        if flow_steps is None:
+            return self.s3gen_cfg.flow.n_timesteps
+        if flow_steps < 1:
+            raise ValueError(f"flow_steps must be >= 1, got {flow_steps}")
+        return int(flow_steps)
+
     def generate_batch(self, audios: List = None, target_voice_path=None, seed: int = 0,
-                       defer_collect: bool = False, _uploaded=None) -> List[np.ndarray]:
+                       defer_collect: bool = False, _uploaded=None,
+                       flow_steps: Optional[int] = None) -> List[np.ndarray]:
         """``defer_collect=True`` returns a device handle; ``collect`` it
         later (lets the host readback of batch N-1 overlap batch N's device
         work, same as the TTS pipeline). ``_uploaded``: pre-transferred
-        sources from _upload_sources (the pipelined path's overlap)."""
+        sources from _upload_sources (the pipelined path's overlap).
+        ``flow_steps`` overrides the CFM Euler step count per call (VC is
+        flow-dominated: 4 steps measured +79% throughput @b8)."""
         if target_voice_path is not None:
             self.set_target_voice(target_voice_path)
         assert self.ref_dict is not None, "set_target_voice first or pass target_voice_path"
@@ -155,10 +169,16 @@ class ChatterboxVC:
         batch_in, lens_in, wav_bucket = _uploaded
 
         b = batch_in.shape[0]
-        key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1], self.hift_bf16)
+        n_steps = self._effective_flow_steps(flow_steps)
+        key = ("vc", b, wav_bucket, self.ref_dict.prompt_token.shape[1],
+               self.hift_bf16, n_steps)
         fn = self._jit.get(key)
         if fn is None:
+            from dataclasses import replace
+
             cfg = self.s3gen_cfg
+            if n_steps != cfg.flow.n_timesteps:
+                cfg = replace(cfg, flow=replace(cfg.flow, n_timesteps=n_steps))
             hift_dtype = jnp.bfloat16 if self.hift_bf16 else None
 
             @jax.jit
@@ -223,7 +243,8 @@ class ChatterboxVC:
         return [marked[i, : int(lens[i])] for i in range(marked.shape[0])]
 
     def generate_batches_pipelined(self, batches: List[List], target_voice_path=None,
-                                   seed: int = 0) -> List[List[np.ndarray]]:
+                                   seed: int = 0,
+                                   flow_steps: Optional[int] = None) -> List[List[np.ndarray]]:
         """Convert several batches, overlapping (a) each batch's host
         collection AND (b) the NEXT batch's source upload with the current
         batch's device compute (r2 verdict #8: a b32 int16 source batch is
@@ -244,7 +265,8 @@ class ChatterboxVC:
                         lambda a=batches[c + 1]: self._upload_sources(self._pack_sources(a))
                     )
                 handles.append(
-                    self.generate_batch(seed=seed + c, defer_collect=True, _uploaded=uploaded)
+                    self.generate_batch(seed=seed + c, defer_collect=True,
+                                        _uploaded=uploaded, flow_steps=flow_steps)
                 )
                 if len(handles) > 1:
                     out.append(self.collect(handles.pop(0)))

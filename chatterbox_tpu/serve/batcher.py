@@ -68,7 +68,8 @@ class DynamicBatcher:
     """
 
     def __init__(self, tts, max_batch: int = 16, window_ms: float = 25.0,
-                 device_lock=None):
+                 device_lock=None, stream_active_fn=None,
+                 bulk_chunk_tokens: int = 50, bulk_rows_with_streams: int = 4):
         self.tts = tts
         self.max_batch = max_batch
         self.window_ms = window_ms
@@ -77,8 +78,20 @@ class DynamicBatcher:
         from .fairlock import FairRLock
 
         self.device_lock = device_lock or FairRLock()
+        # mixed-load admission control: when ``stream_active_fn()`` reports
+        # live realtime streams, bulk batches run PREEMPTIBLY
+        # (ChatterboxTTS.generate_batch_preemptible) -- chunked T3 decode +
+        # row-split synthesis with the device lock released between
+        # dispatches -- so a stream tick waits for one sub-second dispatch
+        # instead of a whole-batch ~1.6 s one (measured per-stream RTF ~2.4
+        # without this; docs/PERFORMANCE.md mixed-load table). None or
+        # bulk_chunk_tokens=0 disables.
+        self.stream_active_fn = stream_active_fn
+        self.bulk_chunk_tokens = bulk_chunk_tokens
+        self.bulk_rows_with_streams = bulk_rows_with_streams
         self.queue: "queue.Queue[Job]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "rows_in_batches": 0, "max_batch_seen": 0}
+        self.stats = {"requests": 0, "batches": 0, "rows_in_batches": 0,
+                      "max_batch_seen": 0, "preempted_batches": 0}
         self._stop = False
         self.worker = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
         self.worker.start()
@@ -147,8 +160,22 @@ class DynamicBatcher:
             if seed is None:
                 # fresh draw per batch; no request asked for determinism
                 seed = int(time.time() * 1000) % (2**31)
-            with self.device_lock:
-                wavs = self.tts.generate_batch(texts, conds=conds, seed=seed, **params)
+            if (
+                self.stream_active_fn is not None
+                and self.bulk_chunk_tokens > 0
+                and self.stream_active_fn()
+            ):
+                # admission control: live streams -> bounded bulk dispatches
+                # (token-identical to the one-shot path; see pipeline/tts)
+                wavs = self.tts.generate_batch_preemptible(
+                    texts, conds=conds, seed=seed, lock=self.device_lock,
+                    t3_chunk_tokens=self.bulk_chunk_tokens,
+                    s3gen_max_rows=self.bulk_rows_with_streams, **params,
+                )
+                self.stats["preempted_batches"] += 1
+            else:
+                with self.device_lock:
+                    wavs = self.tts.generate_batch(texts, conds=conds, seed=seed, **params)
             self.stats["batches"] += 1
             self.stats["rows_in_batches"] += len(group)
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(group))
@@ -245,9 +272,16 @@ class StreamBatcher:
         self.queue: "queue.Queue[StreamJob]" = queue.Queue()
         self.stats = {"stream_requests": 0, "stream_groups": 0,
                       "max_group_seen": 0, "active_streams": 0}
+        self._active: List[_StreamGroup] = []  # owned by the worker thread
         self._stop = False
         self.worker = threading.Thread(target=self._run, name="tts-stream-batcher", daemon=True)
         self.worker.start()
+
+    def has_active(self) -> bool:
+        """Advisory: any live or queued streams? (The DynamicBatcher's
+        admission-control trigger -- momentary staleness is harmless: the
+        policy only changes bulk dispatch granularity.)"""
+        return bool(self._active) or not self.queue.empty()
 
     def submit(self, text: str, conds, params: Dict[str, Any], seed: Optional[int]):
         """Returns an iterator of float32 chunks (raises mid-iteration on
@@ -299,9 +333,8 @@ class StreamBatcher:
         return jobs
 
     def _run(self):
-        active: List[_StreamGroup] = []
         while not self._stop:
-            new = self._drain_new_jobs(block=not active)
+            new = self._drain_new_jobs(block=not self._active)
             if new:
                 groups: Dict[Tuple, List[StreamJob]] = {}
                 for j in new:
@@ -309,7 +342,7 @@ class StreamBatcher:
                 for jobs in groups.values():
                     try:
                         with self.device_lock:
-                            active.append(_StreamGroup(self.tts, jobs))
+                            self._active.append(_StreamGroup(self.tts, jobs))
                         self.stats["stream_groups"] += 1
                         self.stats["max_group_seen"] = max(
                             self.stats["max_group_seen"], len(jobs)
@@ -319,13 +352,13 @@ class StreamBatcher:
                         for j in jobs:
                             j.out.put(e)
             still = []
-            for g in active:
+            for g in self._active:
                 with self.device_lock:
                     alive = g.tick()
                 if alive:
                     still.append(g)
-            active = still
-            self.stats["active_streams"] = sum(len(g.jobs) for g in active)
-        for g in active:
+            self._active = still
+            self.stats["active_streams"] = sum(len(g.jobs) for g in self._active)
+        for g in self._active:
             for j in g.jobs:
                 j.out.put(None)

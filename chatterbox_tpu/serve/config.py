@@ -37,6 +37,20 @@ class ServerConfig(BaseModel):
     # batchers
     max_stream_group: int = 8
     generate_timeout_s: float = 300.0
+    # CFM Euler step count the "turbo" request quality tier maps to
+    # (TTSRequest.quality; measured curve in docs/PERFORMANCE.md -- 4 steps
+    # = mel SNR 41.5 dB vs the 10-step default)
+    turbo_flow_steps: int = 4
+    # mixed-load admission control (serve/batcher.py): while streams are
+    # active, bulk /generate work runs PREEMPTIBLY -- the T3 decode is
+    # chunked (bulk_chunk_tokens per device dispatch) and the synthesis
+    # stage split to <= bulk_rows_with_streams rows per dispatch, releasing
+    # the device lock between dispatches so stream ticks interleave at
+    # sub-second granularity instead of waiting behind whole-batch
+    # dispatches (measured: per-stream RTF ~2.4 without it). 0 disables.
+    admission_control: bool = True
+    bulk_chunk_tokens: int = 50
+    bulk_rows_with_streams: int = 4
 
     @classmethod
     def from_env(cls) -> "ServerConfig":

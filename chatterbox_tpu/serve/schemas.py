@@ -21,6 +21,16 @@ class TTSRequest(BaseModel):
     seed: Optional[int] = None
     return_base64: bool = True
     max_new_tokens: int = Field(1000, ge=1, le=1000)
+    # quality/latency tier: "default" = reference numerics (10-step CFM);
+    # "turbo" = reduced CFM step count (server config turbo_flow_steps,
+    # default 4 -- measured mel SNR 41.5 dB vs default, docs/PERFORMANCE.md).
+    # Tiers map to separately-cached compiled executables, so switching is
+    # free once warm.
+    quality: str = Field("default", pattern="^(default|turbo)$")
+    # run the alignment hallucination watchdog inside the T3 decode loop
+    # (false-start/long-tail/repetition detection with forced EOS); costs
+    # decode-step speed -- see docs/PERFORMANCE.md
+    alignment: bool = False
 
 
 class TTSResponse(BaseModel):

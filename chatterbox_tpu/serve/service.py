@@ -77,6 +77,16 @@ class TTSService:
             self.batcher = DynamicBatcher(
                 tts, max_batch=cfg.max_dynamic_batch, window_ms=cfg.batch_window_ms,
                 device_lock=self.device_lock,
+                # admission control (cfg.admission_control): while streams
+                # are live, bulk batches run preemptibly so stream ticks
+                # never wait behind a whole-batch dispatch
+                stream_active_fn=(
+                    (lambda: self.stream_batcher is not None
+                     and self.stream_batcher.has_active())
+                    if cfg.admission_control else None
+                ),
+                bulk_chunk_tokens=cfg.bulk_chunk_tokens,
+                bulk_rows_with_streams=cfg.bulk_rows_with_streams,
             )
             # concurrent /generate/stream requests coalesce into LOCKSTEP
             # groups sharing batched per-tick dispatches (r2 verdict #6)
@@ -138,6 +148,12 @@ class TTSService:
             return self.tts.conds, exag
         raise ValueError("no emotion specified and no default voice loaded")
 
+    def _tier_flow_steps(self, req: TTSRequest):
+        """Map the request quality tier to a per-call CFM step count (None =
+        pipeline default). Tiers hit separately-keyed jit caches, so both
+        stay warm once compiled."""
+        return self.cfg.turbo_flow_steps if req.quality == "turbo" else None
+
     def generate(self, req: TTSRequest) -> TTSResponse:
         conds, exaggeration = self._resolve_conds(req)
 
@@ -149,6 +165,8 @@ class TTSService:
             cfg_weight=req.cfg_weight,
             temperature=req.temperature,
             max_new_tokens=req.max_new_tokens,
+            flow_steps=self._tier_flow_steps(req),
+            alignment=req.alignment,
         )
         t0 = time.time()
         if self.batcher is not None:
@@ -173,7 +191,8 @@ class TTSService:
             duration_seconds=round(duration, 3),
             generation_time_seconds=round(gen_time, 3),
             rtf=round(gen_time / max(duration, 1e-6), 3),
-            metadata={"emotion": req.emotion, "seed": req.seed},
+            metadata={"emotion": req.emotion, "seed": req.seed,
+                      "quality": req.quality},
         )
         data = wav_bytes(wav, self.tts.sr)
         if req.return_base64:
@@ -192,7 +211,10 @@ class TTSService:
 
         conds, exaggeration = self._resolve_conds(req)
 
-        stream = StreamConfig(max_new_tokens=req.max_new_tokens)
+        stream = StreamConfig(
+            max_new_tokens=req.max_new_tokens,
+            flow_steps=self._tier_flow_steps(req),
+        )
         params = dict(
             stream=stream,
             repetition_penalty=req.repetition_penalty,

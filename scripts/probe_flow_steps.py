@@ -113,7 +113,7 @@ def main():
         print(json.dumps({
             "n_timesteps": n,
             "flow_stage_ms": round(1000 * times[n], 1),
-            "mel_snr_db_vs_n10": round(snr, 1) if snr != float("inf") else None,
+            f"mel_snr_db_vs_n{max(args.steps)}": round(snr, 1) if snr != float("inf") else None,
             "batch": b, "tokens": tb, "t_mel": t_mel,
         }), flush=True)
 

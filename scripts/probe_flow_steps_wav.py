@@ -119,7 +119,7 @@ def main():
         )
         print(json.dumps({
             "n_timesteps": n,
-            "wav_snr_db_vs_n10": snr,
+            f"wav_snr_db_vs_n{max(args.steps)}": snr,
             "len_match": len(wavs[n]) == len(ref),
             "rms_ref": round(float(np.sqrt(sig)), 4),
         }), flush=True)

@@ -149,3 +149,72 @@ def test_chunked_batch_slices_stacked_conds(tts):
         )
     for g, w in zip(chunked, direct):
         np.testing.assert_array_equal(g, w)
+
+
+def test_preemptible_matches_one_shot(tts):
+    """generate_batch_preemptible is sample-identical to generate_batch for
+    the same seed (chunked carry == one-shot decode; single s3gen dispatch),
+    so the admission-control path preserves the deterministic-seed contract
+    for solo (b=1) seeded requests."""
+    conds = _conds(30)
+    direct = tts.generate_batch(["preemptible check"], conds=conds, seed=44, **PARAMS)[0]
+    chunked = tts.generate_batch_preemptible(
+        ["preemptible check"], conds=conds, seed=44, t3_chunk_tokens=5, **PARAMS
+    )[0]
+    np.testing.assert_array_equal(chunked, direct)
+
+
+def test_preemptible_row_split_and_lock(tts):
+    """Multi-row preemptible with s3gen row-splitting: valid audio per row,
+    and the lock is actually acquired/released many times (one per bounded
+    dispatch), which is the admission-control property."""
+    acquires = []
+
+    class CountingLock:
+        def __enter__(self):
+            acquires.append(1)
+
+        def __exit__(self, *a):
+            return False
+
+    stack = Conditionals.stack([_conds(31), _conds(32)])
+    wavs = tts.generate_batch_preemptible(
+        ["row one text", "row two text"], conds=stack, lock=CountingLock(),
+        seed=2, t3_chunk_tokens=4, s3gen_max_rows=1, **PARAMS
+    )
+    assert len(wavs) == 2
+    for w in wavs:
+        assert len(w) > 0 and np.isfinite(w).all()
+    # prefill + >=ceil(16/4) decode chunks + 2 s3gen row dispatches
+    assert len(acquires) >= 1 + 2 + 2, acquires
+
+
+def test_admission_control_routes_bulk_preemptibly(tts):
+    """With live streams reported, the DynamicBatcher executes bulk groups
+    through the preemptible path -- and a seeded solo request stays
+    identical to the direct call."""
+    conds = _conds(33)
+    direct = tts.generate_batch(["admission check"], conds=conds, seed=77, **PARAMS)[0]
+    batcher = DynamicBatcher(
+        tts, max_batch=8, window_ms=10.0, stream_active_fn=lambda: True,
+        bulk_chunk_tokens=5, bulk_rows_with_streams=1,
+    )
+    try:
+        got = batcher.submit("admission check", conds, PARAMS, 77)
+        np.testing.assert_array_equal(got, direct)
+        assert batcher.stats["preempted_batches"] >= 1
+    finally:
+        batcher.shutdown()
+
+
+def test_admission_control_off_when_no_streams(tts):
+    batcher = DynamicBatcher(
+        tts, max_batch=8, window_ms=10.0, stream_active_fn=lambda: False,
+        bulk_chunk_tokens=5,
+    )
+    try:
+        got = batcher.submit("no streams live", _conds(34), PARAMS, None)
+        assert np.isfinite(got).all() and len(got) > 0
+        assert batcher.stats["preempted_batches"] == 0
+    finally:
+        batcher.shutdown()

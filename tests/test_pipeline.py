@@ -279,3 +279,64 @@ def test_flow_steps_env_knob_vc(monkeypatch):
     monkeypatch.setenv("CHATTERBOX_FLOW_STEPS", "6")
     vc = ChatterboxVC(s3gen_params={})
     assert vc.s3gen_cfg.flow.n_timesteps == 6
+
+
+def test_flow_steps_env_validation(monkeypatch):
+    """Invalid CHATTERBOX_FLOW_STEPS values fail loudly at construction
+    (0/negative would degenerate the Euler solve to noise)."""
+    for bad in ("0", "-3", "four"):
+        monkeypatch.setenv("CHATTERBOX_FLOW_STEPS", bad)
+        with pytest.raises(ValueError, match="CHATTERBOX_FLOW_STEPS"):
+            ChatterboxTTS(t3_params={}, s3gen_params={}, ve_params={}, tokenizer=None)
+
+
+def test_per_call_flow_steps_tier(tts):
+    """flow_steps= overrides the CFM step count per call (the serving
+    quality tier): same shapes/token stream, different mel numerics, and the
+    default tier's executables stay cached (tiers coexist)."""
+    conds_keys_before = set(tts._jit_s3gen)
+    kw = dict(max_new_tokens=12, seed=11)
+    base = tts.generate_batch(["Tier check sentence."], **kw)[0]
+    turbo = tts.generate_batch(["Tier check sentence."], flow_steps=4, **kw)[0]
+    again = tts.generate_batch(["Tier check sentence."], **kw)[0]
+    # token stream (and therefore length) identical -- T3 is untouched
+    assert len(base) == len(turbo)
+    np.testing.assert_array_equal(base, again)  # default tier still intact
+    assert not np.array_equal(base, turbo)  # CFM solve actually changed
+    assert np.isfinite(turbo).all()
+    # the tier landed as a separately-keyed executable, not a cache clear
+    assert set(tts._jit_s3gen) > conds_keys_before
+    with pytest.raises(ValueError):
+        tts.generate_batch(["bad"], flow_steps=0, **kw)
+
+
+def test_per_call_flow_steps_vc():
+    """VC's per-call flow_steps knob (flow-dominated: the big serving win)."""
+    vc = ChatterboxVC.from_random(seed=0, s3gen_cfg=TINY_S3GEN)
+    rng = np.random.default_rng(0)
+    vc.ref_dict = __import__("chatterbox_tpu.models.s3gen.s3gen", fromlist=["RefDict"]).RefDict(
+        jnp.asarray(rng.integers(0, 6561, (1, 25)).astype(np.int32)),
+        jnp.full((1,), 25, jnp.int32),
+        jnp.asarray(rng.standard_normal((1, 50, 80)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32)),
+    )
+    src = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    base = vc.generate_batch([src], seed=1)[0]
+    fast = vc.generate_batch([src], seed=1, flow_steps=3)[0]
+    assert len(base) == len(fast) and np.isfinite(fast).all()
+    assert not np.array_equal(base, fast)
+
+
+def test_pipeline_alignment_watchdog(tts):
+    """alignment=True runs end-to-end through the pipeline (in-loop
+    watchdog; XLA decode path) and yields valid audio."""
+    wavs = tts.generate_batch(
+        ["Alignment watchdog end to end.", "Second row."],
+        max_new_tokens=12, seed=5, alignment=True,
+    )
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+    # single-utterance API surface parity
+    w1 = tts.generate("Alignment single.", max_new_tokens=12, seed=5, alignment=True)
+    assert w1.shape[0] == 1 and np.isfinite(w1).all()

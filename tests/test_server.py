@@ -336,3 +336,64 @@ def test_concurrent_streams_share_lockstep_group(server):
     after = svc.stream_batcher.stats
     assert after["stream_groups"] > before
     assert after["max_group_seen"] == 2, after  # they coalesced
+
+
+def test_quality_tier_roundtrip(server, tmp_path):
+    """TTSRequest.quality maps to the per-call CFM step-count tier: both
+    tiers answer, seeded turbo differs from seeded default only in synthesis
+    numerics (same duration), and invalid tiers 400."""
+    rng = np.random.default_rng(3)
+    wav_path = tmp_path / "q.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    _req(server.port, "/voices/upload?filename=q.wav", "POST", wav_path.read_bytes())
+    _req(server.port, "/emotions", "POST",
+         {"id": "tier", "name": "Tier", "voice_samples": ["q.wav"]})
+
+    body = {"text": "Quality tier.", "emotion": "tier", "seed": 4, "max_new_tokens": 8}
+    code, d = _req(server.port, "/generate", "POST", dict(body, quality="default"))
+    assert code == 200 and d["metadata"]["quality"] == "default"
+    code, t = _req(server.port, "/generate", "POST", dict(body, quality="turbo"))
+    assert code == 200 and t["metadata"]["quality"] == "turbo"
+    # same token stream -> same duration; different CFM solve -> different audio
+    assert d["duration_seconds"] == t["duration_seconds"]
+    assert d["audio_base64"] != t["audio_base64"]
+
+    try:
+        code, _ = _req(server.port, "/generate", "POST", dict(body, quality="ultra"))
+    except Exception as e:  # stdlib server surfaces 4xx as HTTPError
+        code = e.code
+    assert code in (400, 422)
+    _req(server.port, "/emotions/tier", "DELETE")
+
+
+def test_alignment_flag_roundtrip(server, tmp_path):
+    """alignment=True drives the in-loop hallucination watchdog through
+    /generate (r4 verdict #5: the capability must be reachable end to end)."""
+    rng = np.random.default_rng(5)
+    wav_path = tmp_path / "a.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    _req(server.port, "/voices/upload?filename=a.wav", "POST", wav_path.read_bytes())
+    _req(server.port, "/emotions", "POST",
+         {"id": "wdog", "name": "Watchdog", "voice_samples": ["a.wav"]})
+    code, j = _req(server.port, "/generate", "POST",
+                   {"text": "Watchdog run.", "emotion": "wdog", "seed": 6,
+                    "max_new_tokens": 8, "alignment": True})
+    assert code == 200 and j["success"] and j["duration_seconds"] > 0
+    _req(server.port, "/emotions/wdog", "DELETE")
+
+
+def test_stream_quality_tier(server, tmp_path):
+    """The turbo tier rides the stream route too (StreamConfig.flow_steps)."""
+    rng = np.random.default_rng(7)
+    wav_path = tmp_path / "s.wav"
+    save_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32), 24000)
+    _req(server.port, "/voices/upload?filename=s.wav", "POST", wav_path.read_bytes())
+    _req(server.port, "/emotions", "POST",
+         {"id": "stq", "name": "StreamTier", "voice_samples": ["s.wav"]})
+    code, raw = _req(server.port, "/generate/stream", "POST",
+                     {"text": "Turbo stream.", "emotion": "stq", "seed": 8,
+                      "max_new_tokens": 8, "quality": "turbo"})
+    assert code == 200 and len(raw) > 0 and len(raw) % 2 == 0
+    pcm = np.frombuffer(raw, "<i2")
+    assert np.isfinite(pcm.astype(np.float32)).all() and len(pcm) > 0
+    _req(server.port, "/emotions/stq", "DELETE")
