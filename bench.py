@@ -3,11 +3,19 @@ metric). Runs the full-size pipeline (random-init weights -- no checkpoint
 egress in this environment; throughput is weight-value-independent) end to
 end: text tokens -> T3 CFG decode -> S3Gen flow -> HiFT vocoder.
 
-Default run (no config flags) emits the FULL measured matrix, one JSON line
-per config on stdout: TTS b1/b8/b16/b32 @250 tokens, long-form b8/b16 @1000,
-VC b8/b32, and 4 concurrent streams -- then re-prints the b8 headline as the
-final line (the driver parses the last line). Passing --batch/--tokens/--vc/
---tiny/--real-conds selects a single config (legacy behavior).
+Default run (no config flags) emits the measured matrix, one JSON line per
+config on stdout, ORDERED so a driver kill costs the least important tail
+(r4 lesson: the run died mid-matrix and the artifact recorded a tail point
+as the round's number): b8 headline -> int8-weight -> turbo (wquant+flow4)
+-> b1 turbo -> VC -> streams -> b1/b16/b32/b64 grid (b32/b64 with
+repeat-based spread) -> long-form -> stretch. Each point reserves its
+worst-case cost against CHATTERBOX_BENCH_BUDGET_S (default 1560 s,
+calibrated to finish inside the driver's ~30 min kill window) BEFORE
+starting, and the b8 headline is re-printed as the LAST stdout line even on
+errors (the driver parses the last line).
+
+Passing --batch/--tokens/--vc/--tiny/--real-conds selects a single config
+(legacy behavior).
 
 Reference floor: ~1.3 audio-sec/s single-stream GPU (BASELINE.md).
 """
@@ -94,7 +102,10 @@ def make_tts(args):
     return tts
 
 
-def make_vc(args):
+def make_vc(args, s3gen_params=None, s3gen_cfg=None):
+    """Build the VC pipeline; pass the TTS pipeline's s3gen params/cfg to
+    share the device weights (the matrix runs VC mid-sequence with the TTS
+    model resident -- a second 0.5 GB s3gen copy is pure waste)."""
     import jax.numpy as jnp
 
     from chatterbox_tpu.models.s3gen.s3gen import RefDict, S3GenConfig, init_s3gen
@@ -102,16 +113,19 @@ def make_vc(args):
     from chatterbox_tpu.runtime.fast_init import synthetic_init
     from chatterbox_tpu.runtime.precision import cast_floating_jit
 
-    if args.tiny:
-        _, cfg = tiny_cfgs()
-    else:
-        cfg = S3GenConfig()
-    params = synthetic_init(lambda k: init_s3gen(k, cfg))
-    if not args.fp32:
-        params = dict(params)
-        params["flow"] = cast_floating_jit(params["flow"], jnp.bfloat16)
-        params["tokenizer"] = cast_floating_jit(params["tokenizer"], jnp.bfloat16)
-    vc = ChatterboxVC(s3gen_params=params, s3gen_cfg=cfg)
+    if s3gen_params is None:
+        if args.tiny:
+            _, s3gen_cfg = tiny_cfgs()
+        else:
+            s3gen_cfg = S3GenConfig()
+        s3gen_params = synthetic_init(lambda k: init_s3gen(k, s3gen_cfg))
+        if not args.fp32:
+            s3gen_params = dict(s3gen_params)
+            s3gen_params["flow"] = cast_floating_jit(s3gen_params["flow"], jnp.bfloat16)
+            s3gen_params["tokenizer"] = cast_floating_jit(
+                s3gen_params["tokenizer"], jnp.bfloat16
+            )
+    vc = ChatterboxVC(s3gen_params=s3gen_params, s3gen_cfg=s3gen_cfg)
     rng = np.random.default_rng(0)
     p_len = 125
     vc.ref_dict = RefDict(
@@ -124,13 +138,20 @@ def make_vc(args):
 
 
 # ------------------------------------------------------------------- configs
-def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag=""):
-    """One TTS throughput point: pipelined batches at (batch, tokens)."""
+def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag="",
+                     flow_steps=None, repeats=1):
+    """One TTS throughput point: pipelined batches at (batch, tokens).
+
+    ``repeats`` > 1 re-runs the timed block and reports the MEDIAN with the
+    run-to-run spread in the detail line (r4 verdict #6: single-run points
+    at b32/b64 carry a measured +-10% spread -- a lone number there cannot
+    distinguish a 9% regression from noise)."""
     import jax
 
     text = "The quick brown fox jumps over the lazy dog near the river bank today."
     texts = [text] * batch
-    gen_kw = dict(max_new_tokens=tokens, min_new_tokens=tokens - 1)
+    gen_kw = dict(max_new_tokens=tokens, min_new_tokens=tokens - 1,
+                  flow_steps=flow_steps)
 
     t0 = time.time()
     # warm through the SAME path the timed loop uses (batches larger than
@@ -138,18 +159,24 @@ def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag=""):
     # not inside the timed iterations)
     tts.generate_batches_pipelined([texts], seed=0, **gen_kw)
     compile_s = time.time() - t0
-    log(f"tts b{batch}@{tokens}: first call (compile+run) {compile_s:.1f}s")
+    log(f"tts b{batch}@{tokens}{tag}: first call (compile+run) {compile_s:.1f}s")
 
     # steady state: pipelined batches (host collection overlaps device work);
     # only the total is truly measured -- collection interleaves batches, so
     # per-iteration splits would be invented numbers.
-    # iters >= 6: at 2, the final batch's exposed host readback (~13 MB/s
-    # tunnel, scripts/probe_transfer*.py) skews throughput ~4% low
-    t0 = time.time()
-    batch_results = tts.generate_batches_pipelined([texts] * iters, seed=1, **gen_kw)
-    total_t = time.time() - t0
-    audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
-    thr = float(np.sum(audio_secs) / total_t)
+    # iters >= 6 preferred: at 2, the final batch's exposed host readback
+    # (~13 MB/s tunnel, scripts/probe_transfer*.py) skews throughput ~4% low
+    runs = []
+    for r in range(repeats):
+        t0 = time.time()
+        batch_results = tts.generate_batches_pipelined(
+            [texts] * iters, seed=1 + r, **gen_kw
+        )
+        total_t = time.time() - t0
+        audio_secs = [sum(len(w) for w in wavs) / 24000.0 for wavs in batch_results]
+        runs.append((float(np.sum(audio_secs) / total_t), total_t, audio_secs))
+    runs.sort(key=lambda x: x[0])
+    thr, total_t, audio_secs = runs[len(runs) // 2]  # median by throughput
 
     suffix = (f"_b{batch}" if tokens == 250 else f"_b{batch}_t{tokens}") + tag
     result = {
@@ -169,11 +196,15 @@ def bench_tts_config(tts, batch, tokens, iters, extra_detail=None, tag=""):
         "tokens": tokens,
         **(extra_detail or {}),
     }
+    if repeats > 1:
+        vals = [r[0] for r in runs]
+        detail["repeat_thr"] = [round(v, 2) for v in vals]
+        detail["spread_pct"] = round(100 * (max(vals) - min(vals)) / thr, 1)
     print(json.dumps({"detail": {result["metric"]: detail}}), file=sys.stderr, flush=True)
     return result
 
 
-def bench_vc_config(vc, batch, tokens, iters, tag=""):
+def bench_vc_config(vc, batch, tokens, iters, tag="", flow_steps=None):
     """Batched end-to-end voice conversion (BASELINE config 5): source wavs
     -> S3 tokens -> S3Gen resynthesis with target conditioning -> watermark."""
     import jax
@@ -185,12 +216,14 @@ def bench_vc_config(vc, batch, tokens, iters, tag=""):
         for _ in range(batch)
     ]
     t0 = time.time()
-    vc.generate_batch(sources, seed=0)
+    vc.generate_batch(sources, seed=0, flow_steps=flow_steps)
     compile_s = time.time() - t0
-    log(f"vc b{batch}: first call (compile+run) {compile_s:.1f}s")
+    log(f"vc b{batch}{tag}: first call (compile+run) {compile_s:.1f}s")
 
     t0 = time.time()
-    all_outs = vc.generate_batches_pipelined([sources] * iters, seed=1)
+    all_outs = vc.generate_batches_pipelined(
+        [sources] * iters, seed=1, flow_steps=flow_steps
+    )
     total = time.time() - t0
     audio_s = sum(len(w) for w in all_outs[-1]) / 24000.0
     thr = audio_s * iters / total
@@ -220,19 +253,19 @@ STREAM_TEXTS = [
 ]
 
 
-def bench_stream_config(tts, n_streams, tokens):
+def bench_stream_config(tts, n_streams, tokens, tag="", flow_steps=None):
     """N lockstep concurrent streams: per-stream TTFA + RTF, aggregate
     throughput (scripts/bench_stream_concurrent.py is the full sweep)."""
     from chatterbox_tpu.pipeline.streaming import StreamConfig, stream_generate_batch
 
     texts = (STREAM_TEXTS * ((n_streams + 3) // 4))[:n_streams]
-    st = StreamConfig(max_new_tokens=tokens)
+    st = StreamConfig(max_new_tokens=tokens, flow_steps=flow_steps)
     kw = dict(seed=0, min_new_tokens=tokens - 1)
 
     t0 = time.time()
     for _ in stream_generate_batch(tts, texts, stream=st, **kw):
         pass  # warm every shape bucket (compiles persist-cache across runs)
-    log(f"stream N={n_streams}: warm pass {time.time() - t0:.1f}s")
+    log(f"stream N={n_streams}{tag}: warm pass {time.time() - t0:.1f}s")
 
     t0 = time.time()
     ttfa = [None] * n_streams
@@ -247,7 +280,7 @@ def bench_stream_config(tts, n_streams, tokens):
     wall = time.time() - t0
     agg = sum(audio) / wall
     result = {
-        "metric": f"stream_aggregate_audio_sec_per_s_n{n_streams}",
+        "metric": f"stream_aggregate_audio_sec_per_s_n{n_streams}{tag}",
         "value": round(agg, 3),
         "unit": "audio-sec/s/chip",
         "vs_baseline": round(agg / 1.3, 3),
@@ -264,10 +297,15 @@ def bench_stream_config(tts, n_streams, tokens):
 
 # ---------------------------------------------------------------------- main
 def run_matrix(args):
-    """Full measured matrix; each line prints as soon as it is measured, the
-    b8 headline repeats as the LAST stdout line. A failing config logs and
-    is skipped; a wall-clock budget guards the driver's timeout."""
-    budget_s = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "3300"))
+    """Full measured matrix, most-important points first; each line prints
+    as soon as it is measured and the b8 headline repeats as the LAST stdout
+    line (even on error -- try/finally). A failing config logs and is
+    skipped. Every point declares a worst-case cost (seconds, calibrated on
+    hardware with a warm persistent compile cache + margin) and is SKIPPED
+    unless it fits the remaining CHATTERBOX_BENCH_BUDGET_S wall-clock
+    budget -- the r4 run was killed by the driver timeout with the guard
+    only checking between configs."""
+    budget_s = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "1560"))
     t_start = time.time()
     headline = None
 
@@ -276,17 +314,22 @@ def run_matrix(args):
     tts.conds = synthetic_conds(rng)
     log("tts model ready")
 
-    def guarded(name, fn):
+    def guarded(name, fn, cost=120.0):
         nonlocal headline
-        if time.time() - t_start > budget_s:
-            log(f"SKIP {name}: over the {budget_s:.0f}s bench budget")
+        elapsed = time.time() - t_start
+        if elapsed + cost > budget_s:
+            log(f"SKIP {name}: {elapsed:.0f}s elapsed + {cost:.0f}s reserve "
+                f"> {budget_s:.0f}s budget")
             return
+        t0 = time.time()
         try:
             r = emit(fn())
             if headline is None:
                 headline = r
         except Exception as e:  # keep the rest of the matrix alive
             log(f"FAIL {name}: {type(e).__name__}: {e}")
+        log(f"POINT {name}: {time.time() - t0:.0f}s "
+            f"(reserved {cost:.0f}, total {time.time() - t_start:.0f})")
 
     def reset_jits():
         # drop cached executables between phases: their device programs +
@@ -297,91 +340,116 @@ def run_matrix(args):
         tts._jit_s3gen.clear()
 
     iters = args.iters
+    wquant_ok = False
+
     if args.tiny:  # CPU smoke of the matrix plumbing
-        guarded("tts_b2", lambda: bench_tts_config(tts, 2, 16, iters))
-        guarded("stream_n2", lambda: bench_stream_config(tts, 2, 16))
+        guarded("tts_b2", lambda: bench_tts_config(tts, 2, 16, iters), cost=600)
+        guarded("tts_b2_turbo",
+                lambda: bench_tts_config(tts, 2, 16, iters, tag="_flow4", flow_steps=4),
+                cost=600)
+        guarded("stream_n2", lambda: bench_stream_config(tts, 2, 16), cost=600)
+        guarded("tts_b2_rep",
+                lambda: bench_tts_config(tts, 2, 16, 2, repeats=2), cost=600)
+        vc = make_vc(args)
+        guarded("vc_b2", lambda: bench_vc_config(vc, 2, 16, iters), cost=600)
+        guarded("vc_b2_flow4",
+                lambda: bench_vc_config(vc, 2, 16, iters, tag="_flow4", flow_steps=4),
+                cost=600)
+        if headline is not None:
+            emit(headline)
+        return
 
-        def tiny_turbo():
-            # same cfg-mutation plumbing the full matrix's turbo point uses
-            from dataclasses import replace
-
-            reset_jits()
-            tts.s3gen_cfg = replace(
-                tts.s3gen_cfg, flow=replace(tts.s3gen_cfg.flow, n_timesteps=4)
-            )
-            return bench_tts_config(tts, 2, 16, iters, tag="_flow4")
-
-        guarded("tts_b2_turbo", tiny_turbo)
-    else:
-        guarded("tts_b8", lambda: bench_tts_config(tts, 8, 250, iters))
-        guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters))
-        guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters))
-        guarded("tts_b32", lambda: bench_tts_config(tts, 32, 250, iters))
-        reset_jits()
-        guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters))
-        guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, iters))
-        reset_jits()
-        guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250))
+    try:
+        # ---- tier 1: the headline + the round's opt-in claims ----
+        guarded("tts_b8", lambda: bench_tts_config(tts, 8, 250, iters), cost=200)
 
         def wquant_point():
             # int8 T3 weights (CHATTERBOX_W_QUANT surface): measured as its
             # own metric; the bf16 headline above stays the default config
+            nonlocal wquant_ok
             import jax
 
             from chatterbox_tpu.models.t3.llama import quantize_llama_weights
 
+            tts._t3_params_bf16 = tts.t3_params  # restored for default points
             t3p = dict(tts.t3_params)
             t3p["llama"] = jax.jit(quantize_llama_weights)(t3p["llama"])
             tts.t3_params = t3p  # new pytree structure -> fresh jit traces
-            return bench_tts_config(tts, 8, 250, iters, tag="_wquant")
+            r = bench_tts_config(tts, 8, 250, iters, tag="_wquant")
+            wquant_ok = True
+            return r
 
-        guarded("tts_b8_wquant", wquant_point)
+        guarded("tts_b8_wquant", wquant_point, cost=160)
 
-        def turbo_point():
-            # compound opt-in config: int8 weights (set above) + 4-step CFM
-            # (CHATTERBOX_FLOW_STEPS surface; measured curve in
-            # PERFORMANCE.md -- mel SNR 41.5 dB vs the 10-step solve).
-            # s3gen cfg is baked into the cached executables, so drop them
-            from dataclasses import replace
+        def _turbo_tag():
+            # compound tag only when the int8 weights actually landed
+            # (otherwise the point is bf16+flow4 and must say so)
+            return "_wquant_flow4" if wquant_ok else "_flow4"
 
-            reset_jits()
-            tts.s3gen_cfg = replace(
-                tts.s3gen_cfg, flow=replace(tts.s3gen_cfg.flow, n_timesteps=4)
-            )
-            return bench_tts_config(tts, 8, 250, iters, tag="_wquant_flow4")
+        guarded("tts_b8_turbo",
+                lambda: bench_tts_config(tts, 8, 250, iters, tag=_turbo_tag(),
+                                         flow_steps=4),
+                cost=130)
+        guarded("tts_b1_turbo",
+                lambda: bench_tts_config(tts, 1, 250, iters, tag=_turbo_tag(),
+                                         flow_steps=4),
+                cost=190)
 
-        guarded("tts_b8_turbo", turbo_point)
+        # ---- tier 2: VC + streams ----
+        vc = None
+        try:
+            vc = make_vc(args, s3gen_params=tts.s3gen_params, s3gen_cfg=tts.s3gen_cfg)
+            log("vc model ready (shared s3gen params)")
+        except Exception as e:
+            log(f"FAIL vc setup: {type(e).__name__}: {e}")
+        if vc is not None:
+            guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters), cost=140)
+            guarded("vc_b8_flow4",
+                    lambda: bench_vc_config(vc, 8, 250, iters, tag="_flow4",
+                                            flow_steps=4),
+                    cost=100)
 
-    try:
-        # free the TTS weights + executables before the VC model loads
-        # (~1.5 GB of device params; VC never touches tts)
+        guarded("stream_n4_turbo",
+                lambda: bench_stream_config(tts, 4, 250, tag=_turbo_tag(),
+                                            flow_steps=4),
+                cost=200)
+
+        # ---- tier 3: the default-numerics grid (bf16 weights restored) ----
+        if getattr(tts, "_t3_params_bf16", None) is not None:
+            tts.t3_params = tts._t3_params_bf16
+        guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250), cost=170)
+        # drop phase-1/2 executables before the grid: resident programs +
+        # constants degraded r4's in-matrix long-form runs (23.5 vs 8.3
+        # s/iter); the grid compiles its own batch buckets anyway
         reset_jits()
-        tts.t3_params = tts.s3gen_params = tts.ve_params = None
-        vc = make_vc(args)
-        log("vc model ready")
-        def vc_flow4(batch, tokens):
-            # 4-step CFM (CHATTERBOX_FLOW_STEPS surface): VC is
-            # flow-dominated, measured +79% @b8 (docs/PERFORMANCE.md)
-            from dataclasses import replace
+        if vc is not None:
+            vc._jit.clear()
+        guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters), cost=170)
+        guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters), cost=160)
+        # b32/b64 with repeat-based spread (verdict #6); b64 shares the
+        # pipelined chunk graphs b32 compiled, so its marginal cost is
+        # mostly measure time
+        guarded("tts_b32",
+                lambda: bench_tts_config(tts, 32, 250, 4, repeats=3), cost=180)
+        guarded("tts_b64",
+                lambda: bench_tts_config(tts, 64, 250, 3, repeats=3), cost=170)
 
-            vc._jit.clear()  # s3gen cfg is baked into cached executables
-            vc.s3gen_cfg = replace(
-                vc.s3gen_cfg, flow=replace(vc.s3gen_cfg.flow, n_timesteps=4)
-            )
-            return bench_vc_config(vc, batch, tokens, iters, tag="_flow4")
+        # ---- tier 4: long-form grid ----
+        reset_jits()
+        guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters), cost=200)
+        guarded("tts_b8_500", lambda: bench_tts_config(tts, 8, 500, iters), cost=120)
+        guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, 4), cost=180)
+        guarded("tts_b32_long", lambda: bench_tts_config(tts, 32, 1000, 3), cost=220)
 
-        if args.tiny:
-            guarded("vc_b2", lambda: bench_vc_config(vc, 2, 16, iters))
-            guarded("vc_b2_flow4", lambda: vc_flow4(2, 16))
-        else:
-            guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters))
-            guarded("vc_b32", lambda: bench_vc_config(vc, 32, 250, iters))
-            guarded("vc_b8_flow4", lambda: vc_flow4(8, 250))
-    except Exception as e:
-        log(f"FAIL vc setup: {type(e).__name__}: {e}")
-
-    if headline is not None:
-        emit(headline)  # the driver parses the LAST line
+        # ---- tier 5: stretch ----
+        if vc is not None:
+            guarded("vc_b32_flow4",
+                    lambda: bench_vc_config(vc, 32, 250, iters, tag="_flow4",
+                                            flow_steps=4),
+                    cost=140)
+    finally:
+        if headline is not None:
+            emit(headline)  # the driver parses the LAST line
 
 
 def run_single(args):
@@ -389,7 +457,9 @@ def run_single(args):
     if args.vc:
         vc = make_vc(args)
         log("vc model ready")
-        emit(bench_vc_config(vc, args.batch, args.tokens, args.iters))
+        emit(bench_vc_config(vc, args.batch, args.tokens, args.iters,
+                             tag="_flow4" if args.flow4 else "",
+                             flow_steps=4 if args.flow4 else None))
         return
 
     tts = make_tts(args)
@@ -419,7 +489,9 @@ def run_single(args):
         # the tunneled remote-compile backend. --real-conds exercises it.
         tts.conds = synthetic_conds(rng)
     log("conditioning done")
-    emit(bench_tts_config(tts, args.batch, args.tokens, args.iters, conds_detail))
+    emit(bench_tts_config(tts, args.batch, args.tokens, args.iters, conds_detail,
+                          tag="_flow4" if args.flow4 else "",
+                          flow_steps=4 if args.flow4 else None))
 
 
 def main():
@@ -431,6 +503,8 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke mode")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 hot path")
+    ap.add_argument("--flow4", action="store_true",
+                    help="single-config runs: 4-step CFM (the turbo tier)")
     ap.add_argument("--real-conds", action="store_true",
                     help="run the real conditioning models (slow remote compile)")
     ap.add_argument("--vc", action="store_true",
@@ -441,7 +515,7 @@ def main():
 
     single = (
         args.batch is not None or args.tokens is not None or args.vc
-        or args.real_conds or args.tiny
+        or args.real_conds
     ) and not args.matrix
     args.batch = args.batch if args.batch is not None else 8
     args.tokens = args.tokens if args.tokens is not None else 250
