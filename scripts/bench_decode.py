@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--quant", action="store_true", help="int8 KV cache (pallas path)")
     ap.add_argument("--wquant", action="store_true",
                     help="int8 weight-only quantization of the matmul chain")
+    ap.add_argument("--alignment", action="store_true",
+                    help="run the in-loop alignment watchdog (forces the XLA "
+                         "attention path: the kernel collects no attn maps)")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -69,13 +72,16 @@ def main():
 
     sampling = SamplingConfig(cfg_weight=0.5, min_new_tokens=args.tokens - 1)
     impl, unroll, pallas, quant = args.impl, args.unroll, args.pallas, args.quant
+    alignment = args.alignment
+    if alignment:
+        pallas = False  # the watchdog needs per-step attention maps
 
     @jax.jit
     def run(p, text, lens, spk, prompt, emo, key):
         return t3_generate(
             p, cfg, text, lens, spk, prompt, emo, key, sampling,
             max_new_tokens=args.tokens, decode_impl=impl, scan_unroll=unroll,
-            use_pallas=pallas, cache_quant=quant,
+            use_pallas=pallas, cache_quant=quant, alignment=alignment,
         )
 
     spk = jnp.asarray(rng.standard_normal((b, 256)).astype(np.float32))
@@ -98,7 +104,7 @@ def main():
     per_step_ms = 1000.0 * min(times) / steps
     print(json.dumps({
         "impl": impl, "unroll": unroll, "pallas": pallas, "fuse_qkv": args.fuse_qkv,
-        "quant": quant, "wquant": args.wquant,
+        "quant": quant, "wquant": args.wquant, "alignment": alignment,
         "batch": b, "cfg_rows": 2 * b, "tokens": args.tokens,
         "cache_len": -(-(34 + tmax + 2 + args.tokens) // 128) * 128,
         "compile_s": round(compile_s, 1),

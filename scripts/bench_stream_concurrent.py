@@ -31,6 +31,16 @@ def main():
     ap.add_argument("--streams", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--mixed", action="store_true",
                     help="also measure N=4 streams + interleaved b4 generate batches")
+    ap.add_argument("--admission", action="store_true",
+                    help="mixed mode: run the bulk loop PREEMPTIBLY "
+                         "(generate_batch_preemptible, chunked T3 + row-split "
+                         "s3gen releasing the lock between dispatches) -- the "
+                         "server's admission-control policy")
+    ap.add_argument("--bulk-chunk-tokens", type=int, default=50)
+    ap.add_argument("--bulk-rows", type=int, default=4)
+    ap.add_argument("--turbo", action="store_true",
+                    help="stream with the 4-step-CFM turbo tier (and int8 T3 "
+                         "weights): the serving quality tier's capacity sweep")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -55,7 +65,7 @@ def main():
         print(f"[stream-conc] {m}", file=sys.stderr, flush=True)
 
     tts = ChatterboxTTS.from_random(seed=0, synthetic=True)
-    apply_tts_precision(tts)
+    apply_tts_precision(tts, weight_quant=args.turbo)
     rng = np.random.default_rng(0)
     p_len = 125
     tts.conds = Conditionals(
@@ -83,7 +93,8 @@ def main():
         "Voice seven explains how tides follow the moon around the earth daily.",
         "The eighth stream hums a tune about trains crossing the high desert.",
     ]
-    st = StreamConfig(chunk_tokens=args.chunk_tokens, max_new_tokens=args.tokens)
+    st = StreamConfig(chunk_tokens=args.chunk_tokens, max_new_tokens=args.tokens,
+                      flow_steps=4 if args.turbo else None)
     kw = dict(seed=0, min_new_tokens=args.tokens - 1)
 
     for n in args.streams:
@@ -106,6 +117,7 @@ def main():
         per_rtf = [round(wall / a, 3) if a else None for a in audio]
         print(json.dumps({
             "streams": n,
+            "turbo": bool(args.turbo),
             "wall_s": round(wall, 2),
             "audio_s_per_stream": [round(a, 1) for a in audio],
             "ttfa_s": [round(t, 3) if t is not None else None for t in ttfa],
@@ -123,6 +135,11 @@ def main():
         # remote backend even with the persistent disk cache -- measured
         # polluting a mixed run whose --streams list skipped 4)
         tts.generate_batch(gen_texts, seed=9, **gen_kw)
+        if args.admission:  # warm the preemptible path's chunk + row graphs
+            tts.generate_batch_preemptible(
+                gen_texts, seed=9, t3_chunk_tokens=args.bulk_chunk_tokens,
+                s3gen_max_rows=args.bulk_rows, **gen_kw,
+            )
         for _ in stream_generate_batch(tts, texts, stream=st, **kw):
             pass
         log("mixed: warm")
@@ -136,8 +153,17 @@ def main():
             i = 0
             while not stop.is_set():
                 t0 = time.time()
-                with lock:
-                    tts.generate_batch(gen_texts, seed=100 + i, **gen_kw)
+                if args.admission:
+                    # the server's admission-control policy: bounded
+                    # dispatches, lock released between them
+                    tts.generate_batch_preemptible(
+                        gen_texts, seed=100 + i, lock=lock,
+                        t3_chunk_tokens=args.bulk_chunk_tokens,
+                        s3gen_max_rows=args.bulk_rows, **gen_kw,
+                    )
+                else:
+                    with lock:
+                        tts.generate_batch(gen_texts, seed=100 + i, **gen_kw)
                 gen_lat.append(time.time() - t0)
                 i += 1
 
@@ -165,6 +191,8 @@ def main():
         gen_audio = len(gen_lat) * 4 * (args.tokens / 25.0)
         print(json.dumps({
             "mixed": True,
+            "admission": bool(args.admission),
+            "turbo": bool(args.turbo),
             "streams": n,
             "wall_s": round(wall, 2),
             "ttfa_s": [round(t, 3) if t is not None else None for t in ttfa],
