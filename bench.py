@@ -379,7 +379,7 @@ def run_matrix(args):
             wquant_ok = True
             return r
 
-        guarded("tts_b8_wquant", wquant_point, cost=160)
+        guarded("tts_b8_wquant", wquant_point, cost=100)
 
         def _turbo_tag():
             # compound tag only when the int8 weights actually landed
@@ -389,11 +389,11 @@ def run_matrix(args):
         guarded("tts_b8_turbo",
                 lambda: bench_tts_config(tts, 8, 250, iters, tag=_turbo_tag(),
                                          flow_steps=4),
-                cost=130)
+                cost=100)
         guarded("tts_b1_turbo",
                 lambda: bench_tts_config(tts, 1, 250, iters, tag=_turbo_tag(),
                                          flow_steps=4),
-                cost=190)
+                cost=120)
 
         # ---- tier 2: VC + streams ----
         vc = None
@@ -403,50 +403,50 @@ def run_matrix(args):
         except Exception as e:
             log(f"FAIL vc setup: {type(e).__name__}: {e}")
         if vc is not None:
-            guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters), cost=140)
+            guarded("vc_b8", lambda: bench_vc_config(vc, 8, 250, iters), cost=120)
             guarded("vc_b8_flow4",
                     lambda: bench_vc_config(vc, 8, 250, iters, tag="_flow4",
                                             flow_steps=4),
-                    cost=100)
+                    cost=80)
 
         guarded("stream_n4_turbo",
                 lambda: bench_stream_config(tts, 4, 250, tag=_turbo_tag(),
                                             flow_steps=4),
-                cost=200)
+                cost=220)
 
         # ---- tier 3: the default-numerics grid (bf16 weights restored) ----
         if getattr(tts, "_t3_params_bf16", None) is not None:
             tts.t3_params = tts._t3_params_bf16
-        guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250), cost=170)
+        guarded("stream_n4", lambda: bench_stream_config(tts, 4, 250), cost=140)
         # drop phase-1/2 executables before the grid: resident programs +
         # constants degraded r4's in-matrix long-form runs (23.5 vs 8.3
         # s/iter); the grid compiles its own batch buckets anyway
         reset_jits()
         if vc is not None:
             vc._jit.clear()
-        guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters), cost=170)
-        guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters), cost=160)
+        guarded("tts_b1", lambda: bench_tts_config(tts, 1, 250, iters), cost=110)
+        guarded("tts_b16", lambda: bench_tts_config(tts, 16, 250, iters), cost=140)
         # b32/b64 with repeat-based spread (verdict #6); b64 shares the
         # pipelined chunk graphs b32 compiled, so its marginal cost is
         # mostly measure time
         guarded("tts_b32",
-                lambda: bench_tts_config(tts, 32, 250, 4, repeats=3), cost=180)
+                lambda: bench_tts_config(tts, 32, 250, 4, repeats=3), cost=90)
         guarded("tts_b64",
-                lambda: bench_tts_config(tts, 64, 250, 3, repeats=3), cost=170)
+                lambda: bench_tts_config(tts, 64, 250, 3, repeats=3), cost=130)
 
         # ---- tier 4: long-form grid ----
         reset_jits()
-        guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters), cost=200)
+        guarded("tts_b8_long", lambda: bench_tts_config(tts, 8, 1000, iters), cost=180)
         guarded("tts_b8_500", lambda: bench_tts_config(tts, 8, 500, iters), cost=120)
-        guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, 4), cost=180)
-        guarded("tts_b32_long", lambda: bench_tts_config(tts, 32, 1000, 3), cost=220)
+        guarded("tts_b16_long", lambda: bench_tts_config(tts, 16, 1000, 4), cost=190)
+        guarded("tts_b32_long", lambda: bench_tts_config(tts, 32, 1000, 3), cost=160)
 
         # ---- tier 5: stretch ----
         if vc is not None:
             guarded("vc_b32_flow4",
                     lambda: bench_vc_config(vc, 32, 250, iters, tag="_flow4",
                                             flow_steps=4),
-                    cost=140)
+                    cost=120)
     finally:
         if headline is not None:
             emit(headline)  # the driver parses the LAST line

@@ -47,10 +47,14 @@ class ServerConfig(BaseModel):
     # stage split to <= bulk_rows_with_streams rows per dispatch, releasing
     # the device lock between dispatches so stream ticks interleave at
     # sub-second granularity instead of waiting behind whole-batch
-    # dispatches (measured: per-stream RTF ~2.4 without it). 0 disables.
+    # dispatches. Measured (N=4 streams + saturating b4 bulk, one v5e):
+    # per-stream RTF 2.25-2.48 without the policy; 0.90-1.00 with these
+    # defaults (bulk latency 1.6 -> ~8 s; docs/PERFORMANCE.md mixed-load
+    # table). 25-token chunks also reuse the streaming path's decode
+    # executables. admission_control=0 disables.
     admission_control: bool = True
-    bulk_chunk_tokens: int = 50
-    bulk_rows_with_streams: int = 4
+    bulk_chunk_tokens: int = 25
+    bulk_rows_with_streams: int = 2
 
     @classmethod
     def from_env(cls) -> "ServerConfig":
