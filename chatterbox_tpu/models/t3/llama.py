@@ -412,6 +412,7 @@ def llama_decode_step(
     unroll: int = 1,
     pallas_valid: Optional[tuple] = None,
     ds_layout: bool = False,
+    attn_slice: Optional[tuple] = None,
 ):
     """One-token incremental forward (scan-over-layers, read-only cache).
 
@@ -421,6 +422,15 @@ def llama_decode_step(
     Returns (hidden (B, 1, C), new cache, attn) where attn is the
     head-mean attention (B, S) of layer ``collect_attn_layer`` (None if not
     requested) -- feeds the alignment analyzer (alignment.py).
+
+    On the Pallas path, attention collection stays on the FAST kernel: the
+    kernel returns its final online-softmax stats (m, l) and the probs for
+    the ``attn_slice`` window (the text region -- required there) are
+    reconstructed exactly as ``exp(q . k_text * scale - m) / l`` with one
+    small XLA matmul against layer ``collect_attn_layer``'s cache columns,
+    under a ``lax.cond`` so only that one layer pays the read. Positions
+    outside [attn_slice) return 0. (The r4 design abandoned the kernel for
+    the whole XLA step when alignment was on: 6.27 vs 3.31 ms/step.)
 
     TPU design note: the cache is threaded as a read-only ``lax.scan`` INPUT
     (xs) so each layer's slice fuses straight into the attention einsum with
@@ -467,15 +477,67 @@ def llama_decode_step(
             from ...ops.flash_decode import flash_decode_layer_attention
 
             row_prefix, gap_end = pallas_valid
-            a4 = flash_decode_layer_attention(
+            want_stats = collect_attn_layer is not None
+            out = flash_decode_layer_attention(
                 cache, lid, cache_pos, row_prefix, gap_end,
                 q[:, :, 0], k[:, :, 0], v[:, :, 0],
                 tail=tail, merge_base=merge_base, scales=scales,
                 interpret=jax.default_backend() == "cpu",
-                ds_layout=ds_layout,
-            )  # (B, H, D)
+                ds_layout=ds_layout, return_stats=want_stats,
+            )  # (B, H, D) [+ stats (B, H) m, l]
+            if want_stats:
+                a4, st_m, st_l = out
+                assert attn_slice is not None, (
+                    "pallas alignment collection needs the attn_slice window"
+                )
+                assert scales is None, (
+                    "alignment text-read assumes a non-quantized cache"
+                )
+                lo, hi = attn_slice
+                bq = xx.shape[0]
+
+                def _text_probs(_):
+                    # exact layer-lid probs over the text window from the
+                    # kernel's global softmax stats; only this one layer
+                    # pays the cache-column read (lax.cond)
+                    if ds_layout:  # (L, 2, B, H, D, S)
+                        kt = lax.dynamic_slice(
+                            cache, (lid, 0, 0, 0, 0, lo),
+                            (1, 1, bq, cfg.num_key_value_heads, d, hi - lo),
+                        )[0, 0]  # (B, H, D, T)
+                        logits = jnp.einsum(
+                            "bhd,bhdt->bht", q[:, :, 0], kt.astype(q.dtype),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:  # (L, 2, B, H, S, D)
+                        kt = lax.dynamic_slice(
+                            cache, (lid, 0, 0, 0, lo, 0),
+                            (1, 1, bq, cfg.num_key_value_heads, hi - lo, d),
+                        )[0, 0]  # (B, H, T, D)
+                        logits = jnp.einsum(
+                            "bhd,bhtd->bht", q[:, :, 0], kt.astype(q.dtype),
+                            preferred_element_type=jnp.float32,
+                        )
+                    p = jnp.exp(logits * scale - st_m[..., None]) / jnp.maximum(
+                        st_l[..., None], 1e-30
+                    )
+                    pos = lo + jnp.arange(hi - lo)
+                    p = jnp.where(
+                        pos[None, None, :] < row_prefix[:, None, None], p, 0.0
+                    )
+                    return jnp.mean(p, axis=1)  # (B, T) head-mean
+
+                attn_t = lax.cond(
+                    lid == collect_attn_layer,
+                    _text_probs,
+                    lambda _: jnp.zeros((bq, hi - lo), jnp.float32),
+                    operand=None,
+                )
+                attn_mean = jnp.zeros((bq, s), jnp.float32).at[:, lo:hi].set(attn_t)
+            else:
+                a4 = out
+                attn_mean = None
             a = a4.reshape(xx.shape[0], 1, h_heads * d)
-            attn_mean = None
         else:
             ck = ckv[0].astype(q.dtype)
             cv = ckv[1].astype(q.dtype)
@@ -510,7 +572,7 @@ def llama_decode_step(
     n_layers = cfg.num_hidden_layers
     assert n_layers % unroll == 0, (n_layers, unroll)
     groups = n_layers // unroll
-    pallas_mode = pallas_valid is not None and collect_attn_layer is None
+    pallas_mode = pallas_valid is not None
     assert not (ds_layout and not pallas_mode), (
         "the (D, S) cache layout is only consumed by the Pallas decode path"
     )
@@ -520,19 +582,26 @@ def llama_decode_step(
     )
 
     if pallas_mode:
+        collect = collect_attn_layer is not None
 
         def body(xx, inp):
             lp_g, lid_g = inp
-            kvs = []
+            kvs, attns = [], []
             for j in range(unroll):
                 lp = jax.tree.map(lambda w: w[j], lp_g)
-                xx, kv, _ = one_layer(lp, xx, lid=lid_g[j])
+                xx, kv, attn_mean = one_layer(lp, xx, lid=lid_g[j])
                 kvs.append(kv)
-            return xx, jnp.stack(kvs)
+                if collect:
+                    attns.append(attn_mean)
+            out = (jnp.stack(kvs), jnp.stack(attns)) if collect else jnp.stack(kvs)
+            return xx, out
 
         layer_ids = jnp.arange(n_layers, dtype=jnp.int32).reshape(groups, unroll)
-        x, new_kvs = lax.scan(body, x, (grouped_params, layer_ids))
-        attns = jnp.zeros((groups, unroll, x.shape[0], s), jnp.float32)
+        if collect:
+            x, (new_kvs, attns) = lax.scan(body, x, (grouped_params, layer_ids))
+        else:
+            x, new_kvs = lax.scan(body, x, (grouped_params, layer_ids))
+            attns = jnp.zeros((groups, unroll, x.shape[0], s), jnp.float32)
     else:
 
         def body(xx, inp):

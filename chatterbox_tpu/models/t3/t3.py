@@ -199,8 +199,10 @@ def _ds_cache(use_pallas: bool, decode_impl: str, alignment: bool) -> bool:
     """Whether the KV cache uses the pad-free (L,2,B,H,D,S) layout: only the
     Pallas flash-decode path consumes it (the XLA fallbacks read (..., S, D)).
     t3_generate/t3_generate_start/t3_generate_resume must agree on these
-    flags -- the carry's cache layout is fixed at prefill."""
-    return use_pallas and decode_impl != "unroll" and not alignment
+    flags -- the carry's cache layout is fixed at prefill. (r5: alignment
+    rides the Pallas path too -- the kernel emits its softmax stats and the
+    text-window probs are reconstructed in XLA; llama_decode_step.)"""
+    return use_pallas and decode_impl != "unroll"
 
 
 class GenCarry(NamedTuple):
@@ -320,6 +322,7 @@ def _make_decode_body(
                 unroll=scan_unroll,
                 pallas_valid=(row_prefix, gap_end) if use_pallas else None,
                 ds_layout=_ds_cache(use_pallas, decode_impl, alignment),
+                attn_slice=text_slice if alignment else None,
             )
         logits = linear(p["speech_head"], h[:, 0])
         attn_text = (
@@ -359,6 +362,9 @@ def t3_generate(
     b, tmax = text_tokens.shape
     cfg_on = sampling.cfg_weight > 0
     n_bos = 2 if cfg_on else 1
+    # the alignment text-read reconstructs probs from a full-precision
+    # cache column read; the int8 cache is not plumbed through it
+    cache_quant = cache_quant and not alignment
     pdt = p["speech_emb"]["w"].dtype
     speaker_emb = speaker_emb.astype(pdt)
     emotion_adv = emotion_adv.astype(pdt)

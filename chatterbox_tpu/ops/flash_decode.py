@@ -53,10 +53,11 @@ TAIL_W = 8  # SD-tail length: tokens buffered between (D,S)-cache merges
 
 def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
             *rest, ds_layout=False, tail_w=0, quant=False, interp=False,
-            bd_heads=False):
+            bd_heads=False, stats_out=False):
     rest = list(rest)
     sck_ref = scv_ref = None
     qp_ref = None
+    ml_ref = None
     if bd_heads:
         qp_ref = rest[0]  # (b_blk, 1, H*D) packed q rows
         rest = rest[1:]
@@ -64,9 +65,20 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
         sck_ref, scv_ref = rest[:2]
         rest = rest[2:]
     if tail_w:
-        tk_ref, tv_ref, pos_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        tk_ref, tv_ref = rest[:2]
+        rest = rest[2:]
+    pos_ref, o_ref = rest[0], rest[1]
+    if stats_out:
+        # second output: final online-softmax stats, (b_blk, h, 1, d)
+        # broadcast like the scratches (m everywhere in even lanes is
+        # overkill -- the whole (1, d) row carries m, a second row-broadcast
+        # carries l via the last-dim split below). Lets XLA reconstruct
+        # EXACT softmax probs for any cache slice (the alignment watchdog's
+        # layer-9 text read) without a second attention pass.
+        ml_ref = rest[2]
+        m_scr, l_scr, acc_scr = rest[3:]
     else:
-        pos_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        m_scr, l_scr, acc_scr = rest[2:]
     b_i = pl.program_id(0)
     s_i = pl.program_id(1)
     n_s = pl.num_programs(1)
@@ -250,6 +262,12 @@ def _kernel(scal_ref, prefix_ref, kc_ref, vc_ref, q_ref, kn_ref, vn_ref,
         for rr in range(b_blk):
             for hh in range(h):
                 o_ref[rr, hh] = (acc_scr[rr, hh] / l_scr[rr, hh]).astype(o_ref.dtype)
+                if stats_out:
+                    # m in lanes [0, d), l in lanes [d, 2d) -- a 64-aligned
+                    # lane concat of the (1, d)-broadcast stats rows
+                    ml_ref[rr, hh] = jnp.concatenate(
+                        [m_scr[rr, hh], l_scr[rr, hh]], axis=1
+                    ).astype(ml_ref.dtype)
 
 
 def _merge_kernel(scal_ref, c_ref, n_ref, o_ref):
@@ -336,13 +354,15 @@ def flash_cache_merge_ds(cache, new_cols, pos, interpret: bool = False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "s_block", "rows_per_cell", "ds_layout")
+    jax.jit,
+    static_argnames=("interpret", "s_block", "rows_per_cell", "ds_layout",
+                     "return_stats"),
 )
 def flash_decode_layer_attention(
     cache, layer_idx, cur_len, row_prefix, gap_end, q, k_new, v_new,
     tail=None, merge_base=None, scales=None,
     interpret: bool = False, s_block: int = S_BLOCK, rows_per_cell=None,
-    ds_layout: bool = False,
+    ds_layout: bool = False, return_stats: bool = False,
 ):
     """Decode attention for one layer against the full multi-layer cache.
 
@@ -366,6 +386,14 @@ def flash_decode_layer_attention(
     via ``flash_cache_merge_ds`` -- a per-step LANE-offset cache write is
     either a full XLA cache copy or a (D, 128)-column RMW, both measured
     slower than this split (scripts/probe_cache_write*.py).
+
+    ``return_stats=True`` additionally returns the final online-softmax
+    stats (m, l) as (B, H) f32 each: ``softmax_prob(slot s of head h) ==
+    exp(score_h(s) - m[b, h]) / l[b, h]`` for ANY valid slot -- the exact
+    global normalization over [all valid cache slots; tail; self]. The
+    alignment watchdog uses this to reconstruct layer-9 text-slice
+    attention with one tiny XLA matmul instead of abandoning the kernel
+    for the 1.9x-slower XLA decode step (docs/PERFORMANCE.md r5).
 
     ``scales`` (L, 2, B, H, S) f32: per-token symmetric int8 quantization
     scales when the (D, S) cache is int8 (halves the dominant HBM traffic;
@@ -492,11 +520,19 @@ def flash_decode_layer_attention(
     in_specs.append(pl.BlockSpec((1, 8, s_blk), lambda bi, si, lr, pr: (si, 0, 0)))
     operands.append(positions)
 
+    out_specs = pl.BlockSpec((b_blk, h, 1, d), row_map)
+    out_shape = jax.ShapeDtypeStruct((b, h, 1, d), q.dtype)
+    if return_stats:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((b_blk, h, 1, 2 * d), row_map),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, h, 1, 2 * d), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b_blk, h, 1, d), row_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
             pltpu.VMEM((b_blk, h, 1, d), jnp.float32),
@@ -506,10 +542,13 @@ def flash_decode_layer_attention(
     out = pl.pallas_call(
         functools.partial(
             _kernel, ds_layout=ds_layout, tail_w=tail_w, quant=quant,
-            interp=interpret, bd_heads=bd_heads,
+            interp=interpret, bd_heads=bd_heads, stats_out=return_stats,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(scalars, jnp.asarray(row_prefix, jnp.int32), *operands)
+    if return_stats:
+        attn_out, ml = out
+        return attn_out[:, :, 0], ml[:, :, 0, 0], ml[:, :, 0, d]
     return out[:, :, 0]

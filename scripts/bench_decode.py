@@ -24,8 +24,9 @@ def main():
     ap.add_argument("--wquant", action="store_true",
                     help="int8 weight-only quantization of the matmul chain")
     ap.add_argument("--alignment", action="store_true",
-                    help="run the in-loop alignment watchdog (forces the XLA "
-                         "attention path: the kernel collects no attn maps)")
+                    help="run the in-loop alignment watchdog (with --pallas "
+                         "the kernel-stats fast path; without it the XLA "
+                         "attention fallback)")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -73,8 +74,6 @@ def main():
     sampling = SamplingConfig(cfg_weight=0.5, min_new_tokens=args.tokens - 1)
     impl, unroll, pallas, quant = args.impl, args.unroll, args.pallas, args.quant
     alignment = args.alignment
-    if alignment:
-        pallas = False  # the watchdog needs per-step attention maps
 
     @jax.jit
     def run(p, text, lens, spk, prompt, emo, key):

@@ -64,3 +64,26 @@ def test_generate_with_alignment_runs():
     toks = np.asarray(res.tokens)
     assert toks.shape == (1, 16)
     assert (toks >= 0).all() and (toks < 8194).all()
+
+
+def test_alignment_pallas_matches_xla_path():
+    """r5: alignment rides the flash kernel (stats output + XLA text-window
+    prob reconstruction). Greedy tokens must match the XLA attention path,
+    and the collected text-window attention must agree closely."""
+    cfg = T3Config(
+        alignment_layer=1,
+        llama=LlamaConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=2, num_key_value_heads=2, head_dim=32),
+    )
+    p = init_t3(jax.random.PRNGKey(0), cfg)
+    text = np.concatenate([[[255]], np.full((1, 6), 7), [[0]]], 1).astype(np.int32)
+    args = (
+        p, cfg, jnp.asarray(text), jnp.asarray([8], np.int32),
+        jnp.zeros((1, 256)), jnp.zeros((1, 150), jnp.int32), jnp.full((1,), 0.5),
+        jax.random.PRNGKey(0),
+    )
+    kw = dict(sampling=SamplingConfig(greedy=True), max_new_tokens=12, alignment=True)
+    res_k = t3_generate(*args, use_pallas=True, **kw)
+    res_x = t3_generate(*args, use_pallas=False, **kw)
+    np.testing.assert_array_equal(np.asarray(res_k.tokens), np.asarray(res_x.tokens))
+    assert int(res_k.steps) == int(res_x.steps)
