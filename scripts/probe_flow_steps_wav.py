@@ -13,7 +13,6 @@ import argparse
 import json
 import sys
 import time
-from dataclasses import replace
 
 import numpy as np
 
@@ -99,14 +98,10 @@ def main():
 
     wavs = {}
     for n in args.steps:
-        # same in-process mutation the bench matrix's turbo point uses:
-        # the cfg is baked into cached executables, so drop them first
-        tts._jit_s3gen.clear()
-        tts.s3gen_cfg = replace(
-            tts.s3gen_cfg, flow=replace(tts.s3gen_cfg.flow, n_timesteps=n)
-        )
+        # per-call flow_steps (r5 quality-tier path -- the same executables
+        # the serving tiers hit; T3 graphs stay cached across step counts)
         t0 = time.time()
-        wavs[n] = np.asarray(tts.generate(text, **kw)[0], np.float64)
+        wavs[n] = np.asarray(tts.generate(text, flow_steps=n, **kw)[0], np.float64)
         log(f"n={n}: {len(wavs[n])/24000:.1f}s audio in {time.time()-t0:.1f}s")
 
     ref = wavs[max(args.steps)]
